@@ -1,0 +1,375 @@
+"""Host-side scalar field arithmetic for the Circle-STARK stack.
+
+M31 = GF(2^31 - 1), CM31 = M31[i]/(i^2+1), QM31 = CM31[u]/(u^2 - (2+i)).
+
+These are exact-integer Python implementations used for the sequential,
+host-side parts of the protocol (Fiat-Shamir transcript, OODS points, proof
+assembly, twiddle derivation).  Bulk columns live on device as uint32 arrays
+(see tstwo_tpu.ops).  Semantics mirror the Rust stwo field stack
+(reference: packages/core/src/fields/{m31,cm31,qm31}.ts, which ports
+stwo-prover's fields module; validated against test-vectors/*.json).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, List, Sequence, Tuple, Union
+
+P = (1 << 31) - 1  # 2^31 - 1
+MODULUS_BITS = 31
+N_BYTES_FELT = 4
+P2 = P * P
+P4 = P**4
+SECURE_EXTENSION_DEGREE = 4
+
+
+def m31_reduce(val: int) -> int:
+    """Reduce any non-negative integer < P^2 to [0, P).
+
+    Mirrors the Rust bit-trick ((((v>>31)+v+1)>>31)+v)&P
+    (reference m31.ts:89-101); for host ints plain % is equivalent and exact.
+    """
+    return val % P
+
+
+@dataclass(frozen=True, slots=True)
+class M31:
+    """Element of GF(2^31-1). reference m31.ts:11."""
+
+    value: int
+
+    # -- constructors -------------------------------------------------------
+    @staticmethod
+    def from_u32_unchecked(v: int) -> "M31":
+        return M31(v)
+
+    @staticmethod
+    def from_int(v: int) -> "M31":
+        return M31(v % P)
+
+    # Rust From<i32>/From<u32>
+    from_ = from_int
+
+    @staticmethod
+    def partial_reduce(v: int) -> "M31":
+        return M31(v - P if v >= P else v)
+
+    @staticmethod
+    def reduce(v: int) -> "M31":
+        return M31(m31_reduce(v))
+
+    @staticmethod
+    def zero() -> "M31":
+        return M31(0)
+
+    @staticmethod
+    def one() -> "M31":
+        return M31(1)
+
+    # -- arithmetic ---------------------------------------------------------
+    def __add__(self, o: "M31") -> "M31":
+        s = self.value + o.value
+        return M31(s - P if s >= P else s)
+
+    def __sub__(self, o: "M31") -> "M31":
+        s = self.value + P - o.value
+        return M31(s - P if s >= P else s)
+
+    def __neg__(self) -> "M31":
+        return M31(0) if self.value == 0 else M31(P - self.value)
+
+    def __mul__(self, o: "M31") -> "M31":
+        return M31((self.value * o.value) % P)
+
+    def double(self) -> "M31":
+        return self + self
+
+    def square(self) -> "M31":
+        return self * self
+
+    def pow(self, e: int) -> "M31":
+        return M31(pow(self.value, e, P))
+
+    def inverse(self) -> "M31":
+        if self.value == 0:
+            raise ZeroDivisionError("0 has no inverse")
+        # p-2 exponent; equivalent to the 37-mul chain pow2147483645
+        # (reference m31.ts:305-315)
+        return M31(pow(self.value, P - 2, P))
+
+    def is_zero(self) -> bool:
+        return self.value == 0
+
+    def complex_conjugate(self) -> "M31":
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.value.to_bytes(4, "little")
+
+    @staticmethod
+    def into_slice(elems: Sequence["M31"]) -> bytes:
+        return b"".join(e.to_bytes() for e in elems)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"M31({self.value})"
+
+
+M31_ZERO = M31(0)
+M31_ONE = M31(1)
+
+
+@dataclass(frozen=True, slots=True)
+class CM31:
+    """Element of GF(P^2) = M31[i]/(i^2+1), stored as a + b*i.
+
+    reference cm31.ts:12.
+    """
+
+    a: int  # real
+    b: int  # imag
+
+    @staticmethod
+    def from_u32_unchecked(a: int, b: int) -> "CM31":
+        return CM31(a, b)
+
+    @staticmethod
+    def from_m31(a: M31, b: M31) -> "CM31":
+        return CM31(a.value, b.value)
+
+    @staticmethod
+    def from_base(a: M31) -> "CM31":
+        return CM31(a.value, 0)
+
+    @staticmethod
+    def zero() -> "CM31":
+        return CM31(0, 0)
+
+    @staticmethod
+    def one() -> "CM31":
+        return CM31(1, 0)
+
+    @property
+    def real(self) -> M31:
+        return M31(self.a)
+
+    @property
+    def imag(self) -> M31:
+        return M31(self.b)
+
+    def __add__(self, o: "CM31") -> "CM31":
+        return CM31((self.a + o.a) % P, (self.b + o.b) % P)
+
+    def __sub__(self, o: "CM31") -> "CM31":
+        return CM31((self.a - o.a) % P, (self.b - o.b) % P)
+
+    def __neg__(self) -> "CM31":
+        return CM31((-self.a) % P, (-self.b) % P)
+
+    def __mul__(self, o: "CM31") -> "CM31":
+        # (a+bi)(c+di) = (ac-bd) + (ad+bc)i   (reference cm31.ts:202-205)
+        return CM31(
+            (self.a * o.a - self.b * o.b) % P,
+            (self.a * o.b + self.b * o.a) % P,
+        )
+
+    def mul_m31(self, o: M31) -> "CM31":
+        return CM31((self.a * o.value) % P, (self.b * o.value) % P)
+
+    def sub_m31(self, o: M31) -> "CM31":
+        return CM31((self.a - o.value) % P, self.b)
+
+    def double(self) -> "CM31":
+        return self + self
+
+    def square(self) -> "CM31":
+        return self * self
+
+    def pow(self, e: int) -> "CM31":
+        r, base = CM31.one(), self
+        while e:
+            if e & 1:
+                r = r * base
+            base = base * base
+            e >>= 1
+        return r
+
+    def inverse(self) -> "CM31":
+        # 1/(a+bi) = (a-bi)/(a^2+b^2)   (reference cm31.ts:237-251)
+        if self.is_zero():
+            raise ZeroDivisionError("0 has no inverse")
+        norm = (self.a * self.a + self.b * self.b) % P
+        ninv = pow(norm, P - 2, P)
+        return CM31((self.a * ninv) % P, (-self.b * ninv) % P)
+
+    def is_zero(self) -> bool:
+        return self.a == 0 and self.b == 0
+
+    def complex_conjugate(self) -> "CM31":
+        return CM31(self.a, (-self.b) % P)
+
+    def to_bytes(self) -> bytes:
+        return self.a.to_bytes(4, "little") + self.b.to_bytes(4, "little")
+
+    @staticmethod
+    def into_slice(elems: Sequence["CM31"]) -> bytes:
+        return b"".join(e.to_bytes() for e in elems)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"CM31({self.a}, {self.b})"
+
+
+# R = 2 + i, the non-residue for the u^2 = R extension (reference qm31.ts:9)
+_R = CM31(2, 1)
+
+
+@dataclass(frozen=True, slots=True)
+class QM31:
+    """Element of GF(P^4) = CM31[u]/(u^2 - (2+i)). reference qm31.ts:29."""
+
+    c0: CM31
+    c1: CM31
+
+    @staticmethod
+    def from_u32_unchecked(a: int, b: int, c: int, d: int) -> "QM31":
+        return QM31(CM31(a, b), CM31(c, d))
+
+    @staticmethod
+    def from_m31(a: M31, b: M31, c: M31, d: M31) -> "QM31":
+        return QM31(CM31(a.value, b.value), CM31(c.value, d.value))
+
+    @staticmethod
+    def from_m31_array(arr: Sequence[M31]) -> "QM31":
+        a, b, c, d = arr
+        return QM31.from_m31(a, b, c, d)
+
+    @staticmethod
+    def from_base(v: M31) -> "QM31":
+        return QM31(CM31(v.value, 0), CM31.zero())
+
+    @staticmethod
+    def from_cm31(v: CM31) -> "QM31":
+        return QM31(v, CM31.zero())
+
+    @staticmethod
+    def zero() -> "QM31":
+        return QM31(CM31.zero(), CM31.zero())
+
+    @staticmethod
+    def one() -> "QM31":
+        return QM31(CM31.one(), CM31.zero())
+
+    def to_m31_array(self) -> Tuple[M31, M31, M31, M31]:
+        return (M31(self.c0.a), M31(self.c0.b), M31(self.c1.a), M31(self.c1.b))
+
+    def to_ints(self) -> Tuple[int, int, int, int]:
+        return (self.c0.a, self.c0.b, self.c1.a, self.c1.b)
+
+    @staticmethod
+    def from_ints(v: Sequence[int]) -> "QM31":
+        return QM31(CM31(v[0] % P, v[1] % P), CM31(v[2] % P, v[3] % P))
+
+    @staticmethod
+    def from_partial_evals(evals: Sequence["QM31"]) -> "QM31":
+        """Combine 4 coordinate-poly evals into one (reference qm31.ts:168-174)."""
+        res = evals[0]
+        res = res + evals[1] * QM31.from_u32_unchecked(0, 1, 0, 0)
+        res = res + evals[2] * QM31.from_u32_unchecked(0, 0, 1, 0)
+        res = res + evals[3] * QM31.from_u32_unchecked(0, 0, 0, 1)
+        return res
+
+    def __add__(self, o: "QM31") -> "QM31":
+        return QM31(self.c0 + o.c0, self.c1 + o.c1)
+
+    def __sub__(self, o: "QM31") -> "QM31":
+        return QM31(self.c0 - o.c0, self.c1 - o.c1)
+
+    def __neg__(self) -> "QM31":
+        return QM31(-self.c0, -self.c1)
+
+    def __mul__(self, o: "QM31") -> "QM31":
+        # (a+bu)(c+du) = (ac + R bd) + (ad + bc)u   (reference qm31.ts:300-305)
+        return QM31(
+            self.c0 * o.c0 + _R * self.c1 * o.c1,
+            self.c0 * o.c1 + self.c1 * o.c0,
+        )
+
+    def mul_m31(self, o: M31) -> "QM31":
+        return QM31(self.c0.mul_m31(o), self.c1.mul_m31(o))
+
+    def mul_cm31(self, o: CM31) -> "QM31":
+        return QM31(self.c0 * o, self.c1 * o)
+
+    def add_m31(self, o: M31) -> "QM31":
+        return QM31(self.c0 + CM31(o.value, 0), self.c1)
+
+    def sub_m31(self, o: M31) -> "QM31":
+        return QM31(self.c0 - CM31(o.value, 0), self.c1)
+
+    def double(self) -> "QM31":
+        return self + self
+
+    def square(self) -> "QM31":
+        return self * self
+
+    def pow(self, e: int) -> "QM31":
+        r, base = QM31.one(), self
+        while e:
+            if e & 1:
+                r = r * base
+            base = base * base
+            e >>= 1
+        return r
+
+    def inverse(self) -> "QM31":
+        # (a + bu)^-1 = (a - bu) / (a^2 - (2+i) b^2)  (reference qm31.ts:396-406)
+        if self.is_zero():
+            raise ZeroDivisionError("0 has no inverse")
+        b2 = self.c1.square()
+        ib2 = CM31((-b2.b) % P, b2.a)  # i * b^2
+        denom = self.c0.square() - (b2 + b2 + ib2)
+        dinv = denom.inverse()
+        return QM31(self.c0 * dinv, (-self.c1) * dinv)
+
+    def div(self, o: "QM31") -> "QM31":
+        return self * o.inverse()
+
+    def div_m31(self, o: M31) -> "QM31":
+        return self.mul_m31(o.inverse())
+
+    def is_zero(self) -> bool:
+        return self.c0.is_zero() and self.c1.is_zero()
+
+    def complex_conjugate(self) -> "QM31":
+        return QM31(self.c0.complex_conjugate(), self.c1.complex_conjugate())
+
+    def to_bytes(self) -> bytes:
+        return self.c0.to_bytes() + self.c1.to_bytes()
+
+    @staticmethod
+    def into_slice(elems: Sequence["QM31"]) -> bytes:
+        return b"".join(e.to_bytes() for e in elems)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"QM31{self.to_ints()}"
+
+
+QM31_ZERO = QM31.zero()
+QM31_ONE = QM31.one()
+
+Felt = Union[M31, CM31, QM31]
+
+
+def batch_inverse(elems: Sequence[Felt]) -> List[Felt]:
+    """Montgomery-trick batch inversion (reference fields.ts:66)."""
+    n = len(elems)
+    if n == 0:
+        return []
+    one = type(elems[0]).one()
+    prefix = [one] * (n + 1)
+    for i, e in enumerate(elems):
+        prefix[i + 1] = prefix[i] * e
+    inv_all = prefix[n].inverse()
+    out: List[Felt] = [one] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv_all
+        inv_all = inv_all * elems[i]
+    return out

@@ -1,0 +1,112 @@
+"""Batched Blake2s-256 on device (jnp uint32).
+
+Hashes N equal-length messages in parallel -- the Merkle-layer hot loop
+(HOT LOOP #3 in SURVEY.md section 3) and the PoW grind.  The compression
+function is 10 rounds x 8 G-mixes of u32 add/xor/rotate, all VPU ops,
+vectorized across the message batch; the message schedule (SIGMA) is static
+so the whole block compress unrolls into one fused XLA computation.
+
+Semantics: standard (unkeyed) blake2s-256, bit-exact with hashlib.blake2s /
+@noble/hashes (reference vcs/blake2s_ref.ts:4-21, vcs/blake2_hash.ts).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IV = np.array([
+    0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+    0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19,
+], dtype=np.uint32)
+
+SIGMA = [
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
+    [14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3],
+    [11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4],
+    [7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8],
+    [9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13],
+    [2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9],
+    [12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11],
+    [13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10],
+    [6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5],
+    [10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0],
+]
+
+# h0 ^= param block (digest_length=32, fanout=1, depth=1)
+H0 = IV.copy()
+H0[0] ^= 0x01010020
+
+
+def _rotr(x, r):
+    return (x >> r) | (x << (32 - r))
+
+
+def _g(v, a, b, c, d, x, y):
+    v[a] = v[a] + v[b] + x
+    v[d] = _rotr(v[d] ^ v[a], 16)
+    v[c] = v[c] + v[d]
+    v[b] = _rotr(v[b] ^ v[c], 12)
+    v[a] = v[a] + v[b] + y
+    v[d] = _rotr(v[d] ^ v[a], 8)
+    v[c] = v[c] + v[d]
+    v[b] = _rotr(v[b] ^ v[c], 7)
+
+
+def compress(h, m, t, is_final):
+    """One blake2s block compress, batched over leading axes.
+
+    h: uint32[..., 8]; m: uint32[..., 16]; t: byte counter (int);
+    is_final: bool.
+    """
+    v = [h[..., i] for i in range(8)] + [
+        jnp.broadcast_to(jnp.uint32(IV[i]), h.shape[:-1]) for i in range(8)
+    ]
+    v[12] = v[12] ^ jnp.uint32(t & 0xFFFFFFFF)
+    v[13] = v[13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF)
+    if is_final:
+        v[14] = v[14] ^ jnp.uint32(0xFFFFFFFF)
+    ms = [m[..., i] for i in range(16)]
+    for r in range(10):
+        s = SIGMA[r]
+        _g(v, 0, 4, 8, 12, ms[s[0]], ms[s[1]])
+        _g(v, 1, 5, 9, 13, ms[s[2]], ms[s[3]])
+        _g(v, 2, 6, 10, 14, ms[s[4]], ms[s[5]])
+        _g(v, 3, 7, 11, 15, ms[s[6]], ms[s[7]])
+        _g(v, 0, 5, 10, 15, ms[s[8]], ms[s[9]])
+        _g(v, 1, 6, 11, 12, ms[s[10]], ms[s[11]])
+        _g(v, 2, 7, 8, 13, ms[s[12]], ms[s[13]])
+        _g(v, 3, 4, 9, 14, ms[s[14]], ms[s[15]])
+    out = [h[..., i] ^ v[i] ^ v[i + 8] for i in range(8)]
+    return jnp.stack(out, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("byte_len",))
+def hash_u32_batch(words: jnp.ndarray, byte_len: int) -> jnp.ndarray:
+    """blake2s-256 of N identical-length messages given as u32 LE words.
+
+    words: uint32[N, n_words] with n_words*4 >= byte_len (extra words are
+    ignored/zero).  Returns uint32[N, 8] digest words (LE).
+    """
+    n = words.shape[0]
+    n_blocks = max(1, -(-byte_len // 64))
+    total_words = n_blocks * 16
+    if words.shape[1] < total_words:
+        words = jnp.pad(words, ((0, 0), (0, total_words - words.shape[1])))
+    h = jnp.broadcast_to(jnp.asarray(H0), (n, 8))
+    for b in range(n_blocks):
+        final = b == n_blocks - 1
+        t = byte_len if final else (b + 1) * 64
+        h = compress(h, words[:, 16 * b: 16 * (b + 1)], t, final)
+    return h
+
+
+def digest_words_to_bytes(words: np.ndarray) -> bytes:
+    """uint32[8] -> 32-byte digest."""
+    return b"".join(int(w).to_bytes(4, "little") for w in words)
+
+
+def digest_bytes_to_words(digest: bytes) -> np.ndarray:
+    return np.frombuffer(digest, dtype="<u4").copy()
