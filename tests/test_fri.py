@@ -1,0 +1,97 @@
+"""FRI prover/verifier roundtrip tests (ports of reference test/fri.test.ts
+semantics, with real commitments)."""
+import numpy as np
+import pytest
+
+from tstwo_tpu.channel.blake2s import Blake2sChannel
+from tstwo_tpu.circle import CanonicCoset
+from tstwo_tpu.fields import QM31
+from tstwo_tpu.fri import (CirclePolyDegreeBound, FriConfig, FriProver,
+                           FriVerificationError, FriVerifier)
+from tstwo_tpu.ops import m31 as m31_ops
+from tstwo_tpu.poly.circle_poly import SecureCirclePoly, SecureEvaluation
+from tstwo_tpu.poly.twiddles import precompute_twiddles
+from tstwo_tpu.queries import Queries
+from tstwo_tpu.utils import bit_reverse_index
+
+
+def make_secure_eval(log_degree, log_blowup, seed=0):
+    rng = np.random.default_rng(seed)
+    coeffs = rng.integers(0, (1 << 31) - 1, size=(4, 1 << log_degree),
+                          dtype=np.uint32)
+    sp = SecureCirclePoly(m31_ops.asarray(coeffs))
+    domain = CanonicCoset.new(log_degree + log_blowup).circle_domain()
+    return sp.evaluate(domain), sp
+
+
+def query_evals_for_column(se: SecureEvaluation, positions):
+    return [se.at(p) for p in positions]
+
+
+@pytest.mark.parametrize("log_degree", [4, 6])
+def test_fri_prove_verify_single_column(log_degree):
+    config = FriConfig(1, 1, 3)
+    ev, _ = make_secure_eval(log_degree, config.log_blowup_factor)
+    tree = precompute_twiddles(ev.domain.half_coset)
+    ch = Blake2sChannel()
+    prover = FriProver.commit(ch, config, [ev], tree)
+    proof, positions = prover.decommit(ch)
+
+    vch = Blake2sChannel()
+    bounds = [CirclePolyDegreeBound(log_degree)]
+    verifier = FriVerifier.commit(vch, config, proof, bounds)
+    vpos = verifier.sample_query_positions(vch)
+    assert vpos == positions
+    log_size = ev.domain.log_size()
+    evals = query_evals_for_column(ev, vpos[log_size])
+    verifier.decommit([evals])  # should not raise
+
+
+def test_fri_multiple_column_sizes():
+    config = FriConfig(1, 1, 2)
+    ev1, _ = make_secure_eval(6, config.log_blowup_factor, seed=1)
+    ev2, _ = make_secure_eval(4, config.log_blowup_factor, seed=2)
+    tree = precompute_twiddles(ev1.domain.half_coset)
+    ch = Blake2sChannel()
+    prover = FriProver.commit(ch, config, [ev1, ev2], tree)
+    proof, positions = prover.decommit(ch)
+
+    vch = Blake2sChannel()
+    bounds = [CirclePolyDegreeBound(6), CirclePolyDegreeBound(4)]
+    verifier = FriVerifier.commit(vch, config, proof, bounds)
+    vpos = verifier.sample_query_positions(vch)
+    evals = [query_evals_for_column(ev1, vpos[ev1.domain.log_size()]),
+             query_evals_for_column(ev2, vpos[ev2.domain.log_size()])]
+    verifier.decommit(evals)
+
+
+def test_fri_rejects_tampered_witness():
+    config = FriConfig(1, 1, 2)
+    ev, _ = make_secure_eval(5, config.log_blowup_factor, seed=3)
+    tree = precompute_twiddles(ev.domain.half_coset)
+    ch = Blake2sChannel()
+    prover = FriProver.commit(ch, config, [ev], tree)
+    proof, _ = prover.decommit(ch)
+    if proof.inner_layers[0].fri_witness:
+        proof.inner_layers[0].fri_witness[0] = (
+            proof.inner_layers[0].fri_witness[0] + QM31.one())
+    vch = Blake2sChannel()
+    verifier = FriVerifier.commit(vch, config, proof,
+                                  [CirclePolyDegreeBound(5)])
+    vpos = verifier.sample_query_positions(vch)
+    evals = [query_evals_for_column(ev, vpos[ev.domain.log_size()])]
+    with pytest.raises(FriVerificationError):
+        verifier.decommit(evals)
+
+
+def test_fri_rejects_high_degree():
+    config = FriConfig(0, 1, 2)
+    rng = np.random.default_rng(7)
+    domain = CanonicCoset.new(5).circle_domain()
+    values = m31_ops.asarray(
+        rng.integers(0, (1 << 31) - 1, size=(4, 32), dtype=np.uint32))
+    ev = SecureEvaluation(domain, values)  # random values: NOT low degree
+    tree = precompute_twiddles(domain.half_coset)
+    ch = Blake2sChannel()
+    with pytest.raises(ValueError, match="invalid degree"):
+        FriProver.commit(ch, config, [ev], tree)

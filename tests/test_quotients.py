@@ -1,0 +1,53 @@
+"""Quotient low-degree test (port of the embedded Rust
+pcs/quotients.rs test_quotients_are_low_degree)."""
+import numpy as np
+
+from tstwo_tpu.circle import SECURE_FIELD_CIRCLE_GEN, CanonicCoset
+from tstwo_tpu.fields import M31, QM31
+from tstwo_tpu.ops import m31 as m31_ops
+from tstwo_tpu.pcs.quotients import (PointSample, accumulate_row_quotients,
+                                     ColumnSampleBatch, compute_fri_quotients,
+                                     quotient_constants)
+from tstwo_tpu.poly.circle_poly import CircleEvaluation, CirclePoly
+from tstwo_tpu.utils import bit_reverse_index
+
+
+def test_quotients_are_low_degree():
+    LOG_SIZE = 5
+    LOG_BLOWUP = 1
+    poly = CirclePoly(m31_ops.asarray(
+        np.arange(1 << LOG_SIZE, dtype=np.uint32)))
+    eval_domain = CanonicCoset.new(LOG_SIZE + 1).circle_domain()
+    ev = poly.evaluate(eval_domain)
+    point = SECURE_FIELD_CIRCLE_GEN
+    value = poly.eval_at_point(point)
+    coeff = QM31.from_u32_unchecked(1, 2, 3, 4)
+    quot = compute_fri_quotients(
+        [ev], [[PointSample(point, value)]], coeff, LOG_BLOWUP)[0]
+    # each coordinate interpolates to a poly of degree < 2^LOG_SIZE (+1 fri)
+    sp = quot.interpolate()
+    for cp in sp.coordinate_polys():
+        assert cp.is_in_fri_space(LOG_SIZE), (
+            np.asarray(cp.coeffs)[(1 << LOG_SIZE):].nonzero())
+
+
+def test_device_quotients_match_host_rows():
+    LOG_SIZE = 4
+    rng = np.random.default_rng(0)
+    cols = [m31_ops.asarray(rng.integers(0, (1 << 31) - 1, size=1 << LOG_SIZE,
+                                         dtype=np.uint32)) for _ in range(2)]
+    domain = CanonicCoset.new(LOG_SIZE).circle_domain()
+    evs = [CircleEvaluation(domain, c) for c in cols]
+    point = SECURE_FIELD_CIRCLE_GEN
+    samples = [[PointSample(point, QM31.from_u32_unchecked(5, 6, 7, 8))],
+               [PointSample(point, QM31.from_u32_unchecked(9, 1, 2, 3))]]
+    coeff = QM31.from_u32_unchecked(11, 22, 33, 44)
+    quot = compute_fri_quotients(evs, samples, coeff, 1)[0]
+    batches = ColumnSampleBatch.new_vec(samples)
+    consts = quotient_constants(batches, coeff)
+    cols_np = [np.asarray(c) for c in cols]
+    for row in [0, 1, 7, 15]:
+        p = domain.at(bit_reverse_index(row, LOG_SIZE))
+        expected = accumulate_row_quotients(
+            batches, [M31(int(c[row])) for c in cols_np], consts, p)
+        assert quot.at(row) == expected, row

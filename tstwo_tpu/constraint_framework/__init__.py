@@ -1,0 +1,322 @@
+"""Constraint framework: define AIR components by a single `evaluate`
+function, run through interchangeable evaluators.
+
+The user writes `evaluate(eval)` once against the EvalAtRow interface; it is
+executed with:
+  * InfoEvaluator   -- counts constraints and mask structure,
+  * PointEvaluator  -- OODS evaluation on host QM31 scalars,
+  * DomainEvaluator -- whole-domain evaluation on device columns (the TPU
+                       analog of Rust's SimdDomainEvaluator: one traced XLA
+                       computation over all rows),
+  * AssertEvaluator -- debug: checks constraints vanish on the trace domain.
+
+reference constraint_framework/index.ts (whose domain path is a TS
+placeholder; semantics re-derived from Rust stwo constraint_framework).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..air import ORIGINAL_TRACE_IDX, PREPROCESSED_TRACE_IDX, Trace
+from ..air.accumulator import (DomainEvaluationAccumulator,
+                               PointEvaluationAccumulator)
+from ..circle import CanonicCoset, CirclePoint
+from ..constraints import (coset_vanishing,
+                           coset_vanishing_denominator_inverses_bitrev)
+from ..fields import M31, QM31
+from ..ops import m31 as m31_ops
+from ..ops import qm31 as qm31_ops
+from ..pcs import TreeSubspan
+from ..pcs.utils import TreeVec
+from ..utils import offset_bit_reversed_circle_domain_index
+from .expr import BaseExpr, SecureExpr
+
+
+class TraceLocationAllocator:
+    """Allocates column spans in commitment trees to components
+    (Rust constraint_framework TraceLocationAllocator)."""
+
+    def __init__(self):
+        self.next_tree_offsets: List[int] = []
+
+    def next_for_structure(self, structure: TreeVec) -> List[TreeSubspan]:
+        while len(self.next_tree_offsets) < len(structure):
+            self.next_tree_offsets.append(0)
+        out = []
+        for tree_index, cols in enumerate(structure):
+            start = self.next_tree_offsets[tree_index]
+            end = start + len(cols)
+            self.next_tree_offsets[tree_index] = end
+            out.append(TreeSubspan(tree_index, start, end))
+        return out
+
+
+class _Anything:
+    """Absorbing symbolic value for InfoEvaluator."""
+
+    def _op(self, *_):
+        return self
+
+    __add__ = __radd__ = __sub__ = __rsub__ = __mul__ = __rmul__ = _op
+    __neg__ = _op
+
+    def square(self):
+        return self
+
+
+class InfoEvaluator:
+    """Counts constraints and mask offsets per interaction."""
+
+    def __init__(self):
+        self.mask_offsets = TreeVec()
+        self.n_constraints = 0
+
+    def _ensure(self, interaction: int):
+        while len(self.mask_offsets) <= interaction:
+            self.mask_offsets.append([])
+
+    def next_trace_mask(self):
+        return self.next_interaction_mask(ORIGINAL_TRACE_IDX, [0])[0]
+
+    def next_interaction_mask(self, interaction: int,
+                              offsets: Sequence[int]):
+        self._ensure(interaction)
+        self.mask_offsets[interaction].append(list(offsets))
+        return [_Anything() for _ in offsets]
+
+    def add_constraint(self, _constraint) -> None:
+        self.n_constraints += 1
+
+    @staticmethod
+    def combine_ef(values):
+        return _Anything()
+
+
+class PointEvaluator:
+    """Mask-value evaluation at the OODS point (host scalars)."""
+
+    def __init__(self, mask: TreeVec, accumulator: PointEvaluationAccumulator,
+                 denom_inverse: QM31):
+        self.mask = mask
+        self.accumulator = accumulator
+        self.denom_inverse = denom_inverse
+        self.col_index = [0] * len(mask)
+
+    def next_trace_mask(self) -> QM31:
+        return self.next_interaction_mask(ORIGINAL_TRACE_IDX, [0])[0]
+
+    def next_interaction_mask(self, interaction: int,
+                              offsets: Sequence[int]) -> List[QM31]:
+        idx = self.col_index[interaction]
+        self.col_index[interaction] += 1
+        values = self.mask[interaction][idx]
+        if len(values) != len(offsets):
+            raise ValueError("mask length mismatch")
+        return list(values)
+
+    def add_constraint(self, constraint: QM31) -> None:
+        self.accumulator.accumulate(self.denom_inverse * constraint)
+
+    @staticmethod
+    def combine_ef(values: Sequence[QM31]) -> QM31:
+        return QM31.from_partial_evals(list(values))
+
+
+@lru_cache(maxsize=None)
+def _offset_perm(trace_log: int, eval_log: int, offset: int) -> jnp.ndarray:
+    n = 1 << eval_log
+    perm = np.fromiter(
+        (offset_bit_reversed_circle_domain_index(i, trace_log, eval_log, offset)
+         for i in range(n)), dtype=np.int64, count=n)
+    return jnp.asarray(perm)
+
+
+class DomainEvaluator:
+    """Whole-domain constraint evaluation on device columns."""
+
+    def __init__(self, trace_evals: TreeVec, trace_domain_log_size: int,
+                 eval_domain_log_size: int,
+                 random_coeff_powers: List[QM31]):
+        self.trace_evals = trace_evals  # per interaction: list of u32[n] arrays
+        self.trace_domain_log_size = trace_domain_log_size
+        self.eval_domain_log_size = eval_domain_log_size
+        self.random_coeff_powers = random_coeff_powers  # reversed order
+        self.col_index = [0] * len(trace_evals)
+        self.constraint_index = 0
+        n = 1 << eval_domain_log_size
+        self.row_res = SecureExpr(qm31_ops.zeros((n,)))
+
+    def next_trace_mask(self) -> BaseExpr:
+        return self.next_interaction_mask(ORIGINAL_TRACE_IDX, [0])[0]
+
+    def next_interaction_mask(self, interaction: int,
+                              offsets: Sequence[int]) -> List[BaseExpr]:
+        idx = self.col_index[interaction]
+        self.col_index[interaction] += 1
+        col = self.trace_evals[interaction][idx]
+        out = []
+        for off in offsets:
+            if off == 0:
+                out.append(BaseExpr(col))
+            else:
+                perm = _offset_perm(self.trace_domain_log_size,
+                                    self.eval_domain_log_size, off)
+                out.append(BaseExpr(jnp.take(col, perm, axis=-1)))
+        return out
+
+    def add_constraint(self, constraint) -> None:
+        coeff = self.random_coeff_powers[self.constraint_index]
+        self.constraint_index += 1
+        if isinstance(constraint, BaseExpr):
+            constraint = SecureExpr(qm31_ops.from_m31(constraint.arr))
+        self.row_res = self.row_res + (constraint * coeff)
+
+    @staticmethod
+    def combine_ef(values: Sequence[BaseExpr]) -> SecureExpr:
+        return SecureExpr(jnp.stack([v.arr for v in values]))
+
+
+class AssertEvaluator:
+    """Debug evaluator: constraints must vanish on the trace domain
+    (Rust constraint_framework assert.rs)."""
+
+    def __init__(self, trace_evals: TreeVec, log_size: int):
+        self.trace_evals = trace_evals
+        self.log_size = log_size
+        self.col_index = [0] * len(trace_evals)
+
+    def next_trace_mask(self):
+        return self.next_interaction_mask(ORIGINAL_TRACE_IDX, [0])[0]
+
+    def next_interaction_mask(self, interaction, offsets):
+        idx = self.col_index[interaction]
+        self.col_index[interaction] += 1
+        col = self.trace_evals[interaction][idx]
+        out = []
+        for off in offsets:
+            if off == 0:
+                out.append(BaseExpr(col))
+            else:
+                perm = _offset_perm(self.log_size, self.log_size, off)
+                out.append(BaseExpr(jnp.take(col, perm, axis=-1)))
+        return out
+
+    def add_constraint(self, constraint) -> None:
+        arr = constraint.arr if isinstance(constraint, (BaseExpr, SecureExpr)) \
+            else constraint
+        if np.asarray(arr).any():
+            raise AssertionError("constraint does not vanish on trace domain")
+
+    @staticmethod
+    def combine_ef(values):
+        return SecureExpr(jnp.stack([v.arr for v in values]))
+
+
+def assert_constraints(trace_evals: TreeVec, log_size: int, framework_eval
+                       ) -> None:
+    """Check all constraints vanish on the trace domain (debug aid)."""
+    framework_eval.evaluate(AssertEvaluator(trace_evals, log_size))
+
+
+class FrameworkEval:
+    """User-implemented component description (Rust FrameworkEval trait)."""
+
+    def log_size(self) -> int:
+        raise NotImplementedError
+
+    def max_constraint_log_degree_bound(self) -> int:
+        raise NotImplementedError
+
+    def evaluate(self, evaluator):
+        raise NotImplementedError
+
+
+class FrameworkComponent:
+    """Component + ComponentProver from a FrameworkEval
+    (Rust constraint_framework component.rs)."""
+
+    def __init__(self, allocator: TraceLocationAllocator, eval: FrameworkEval,
+                 claimed_sum: QM31 = None):
+        self.eval = eval
+        self.claimed_sum = claimed_sum if claimed_sum is not None else QM31.zero()
+        info = InfoEvaluator()
+        eval.evaluate(info)
+        # every component owns (empty) spans in the preprocessed + trace trees
+        while len(info.mask_offsets) < 2:
+            info.mask_offsets.append([])
+        # move the implicit preprocessed interaction first if absent
+        self.info = info
+        self.trace_locations = allocator.next_for_structure(info.mask_offsets)
+        self._preprocessed_indices: List[int] = []
+
+    # -- Component ----------------------------------------------------------
+    def n_constraints(self) -> int:
+        return self.info.n_constraints
+
+    def max_constraint_log_degree_bound(self) -> int:
+        return self.eval.max_constraint_log_degree_bound()
+
+    def trace_log_degree_bounds(self) -> TreeVec:
+        return TreeVec([self.eval.log_size()] * len(tree)
+                       for tree in self.info.mask_offsets)
+
+    def mask_points(self, point) -> TreeVec:
+        trace_step = CanonicCoset.new(self.eval.log_size()).step()
+        zero = CirclePoint.zero_m31()
+        out = TreeVec()
+        for tree in self.info.mask_offsets:
+            cols = []
+            for col_offsets in tree:
+                pts = []
+                for off in col_offsets:
+                    shift = trace_step.mul_signed(off, zero)
+                    pts.append(point + shift.into_ef(QM31.from_base))
+                cols.append(pts)
+            out.append(cols)
+        if len(out) > PREPROCESSED_TRACE_IDX:
+            out[PREPROCESSED_TRACE_IDX] = [
+                [point] for _ in self._preprocessed_indices]
+        return out
+
+    def preprocessed_column_indices(self) -> List[int]:
+        return list(self._preprocessed_indices)
+
+    def _sub_tree(self, tree_vec: TreeVec) -> TreeVec:
+        out = TreeVec()
+        for loc in self.trace_locations:
+            tree = tree_vec[loc.tree_index] if loc.tree_index < len(tree_vec) else []
+            out.append(list(tree[loc.col_start: loc.col_end]))
+        return out
+
+    def evaluate_constraint_quotients_at_point(
+            self, point, mask: TreeVec,
+            accumulator: PointEvaluationAccumulator) -> None:
+        trace_coset = CanonicCoset.new(self.eval.log_size()).coset
+        denom_inverse = coset_vanishing(trace_coset, point).inverse()
+        ev = PointEvaluator(self._sub_tree(mask), accumulator, denom_inverse)
+        self.eval.evaluate(ev)
+
+    # -- ComponentProver ----------------------------------------------------
+    def evaluate_constraint_quotients_on_domain(
+            self, trace: Trace,
+            accumulator: DomainEvaluationAccumulator) -> None:
+        eval_log = self.max_constraint_log_degree_bound()
+        trace_log = self.eval.log_size()
+        eval_domain = CanonicCoset.new(eval_log).circle_domain()
+        component_polys = self._sub_tree(trace.polys)
+        trace_evals = TreeVec(
+            [poly.evaluate(eval_domain, accumulator.twiddles).values
+             for poly in tree]
+            for tree in component_polys)
+        (accum,) = accumulator.columns([(eval_log, self.n_constraints())])
+        powers = list(reversed(accum.random_coeff_powers))
+        ev = DomainEvaluator(trace_evals, trace_log, eval_log, powers)
+        self.eval.evaluate(ev)
+        denom_inv = jnp.asarray(
+            coset_vanishing_denominator_inverses_bitrev(trace_log, eval_log))
+        result = m31_ops.mul(ev.row_res.arr, denom_inv[None, :])
+        accum.accumulate_column(result)

@@ -339,7 +339,15 @@ class QM31:
         return self.c0.is_zero() and self.c1.is_zero()
 
     def complex_conjugate(self) -> "QM31":
-        return QM31(self.c0.complex_conjugate(), self.c1.complex_conjugate())
+        """Galois conjugation of QM31/CM31: u -> -u, i.e. (c0, -c1).
+
+        This is the Rust stwo semantics (quotients.rs: "a point Pr + uPi ...
+        and its conjugate Pr - uPi").  NOTE: the reference TS
+        (qm31.ts:433-435) conjugates i in each coordinate instead -- that map
+        is not multiplicative on QM31 (it moves R = 2+i) and breaks the DEEP
+        quotient low-degree property; it is a TS-only bug, not ported.
+        """
+        return QM31(self.c0, -self.c1)
 
     def to_bytes(self) -> bytes:
         return self.c0.to_bytes() + self.c1.to_bytes()

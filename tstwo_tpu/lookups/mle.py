@@ -1,0 +1,101 @@
+"""Multilinear extensions, stored bit-reversed over the boolean hypercube.
+
+Backed by vectorized numpy QM31 (SoA [4, n]); base-field MLEs hold a
+uint64 [n] array.  reference lookups/mle.ts.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Union
+
+import numpy as np
+
+from ..fields import M31, QM31
+from . import npqm31
+from .utils import UnivariatePoly, fold_mle_evals
+
+
+class Mle:
+    """Secure-field MLE: evals [4, 2^n] uint64."""
+
+    def __init__(self, evals: Union[np.ndarray, Sequence[QM31]]):
+        if isinstance(evals, np.ndarray):
+            self.evals = evals.astype(np.uint64)
+        else:
+            self.evals = npqm31.from_qm31_list(list(evals))
+        n = self.evals.shape[1]
+        if n == 0 or (n & (n - 1)):
+            raise ValueError("number of evaluations must be a power of two")
+
+    def n_variables(self) -> int:
+        return int(self.evals.shape[1]).bit_length() - 1
+
+    def __len__(self) -> int:
+        return int(self.evals.shape[1])
+
+    def at(self, i: int) -> QM31:
+        return QM31.from_ints([int(self.evals[c, i]) for c in range(4)])
+
+    def into_evals(self) -> List[QM31]:
+        return npqm31.to_qm31_list(self.evals)
+
+    def eval_at_point(self, point: Sequence[QM31]) -> QM31:
+        """Fold halves by eq(0,p)/eq(1,p) weights (reference mle.ts:81-113).
+
+        point[0] corresponds to the most significant hypercube variable.
+        """
+        arr = self.evals
+        for p in point:
+            mid = arr.shape[1] // 2
+            lhs, rhs = arr[:, :mid], arr[:, mid:]
+            pv = npqm31.scalar(p)
+            arr = npqm31.add(npqm31.mul(pv, npqm31.sub(rhs, lhs)), lhs)
+        return QM31.from_ints([int(arr[c, 0]) for c in range(4)])
+
+    def fix_first_variable(self, assignment: QM31) -> "Mle":
+        mid = self.evals.shape[1] // 2
+        lhs, rhs = self.evals[:, :mid], self.evals[:, mid:]
+        a = npqm31.scalar(assignment)
+        return Mle(npqm31.add(npqm31.mul(a, npqm31.sub(rhs, lhs)), lhs))
+
+
+class BaseMle:
+    """Base-field MLE: evals uint64 [2^n]."""
+
+    def __init__(self, evals: Union[np.ndarray, Sequence[M31]]):
+        if isinstance(evals, np.ndarray):
+            self.evals = evals.astype(np.uint64)
+        else:
+            self.evals = np.array([e.value for e in evals], dtype=np.uint64)
+        n = len(self.evals)
+        if n == 0 or (n & (n - 1)):
+            raise ValueError("number of evaluations must be a power of two")
+
+    def n_variables(self) -> int:
+        return int(len(self.evals)).bit_length() - 1
+
+    def __len__(self) -> int:
+        return len(self.evals)
+
+    def at(self, i: int) -> M31:
+        return M31(int(self.evals[i]))
+
+    def to_secure(self) -> Mle:
+        z = np.zeros_like(self.evals)
+        return Mle(np.stack([self.evals, z, z, z]))
+
+    def fix_first_variable(self, assignment: QM31) -> Mle:
+        return self.to_secure().fix_first_variable(assignment)
+
+
+class SecureMle(Mle):
+    """Mle that is also a MultivariatePolyOracle (reference mle.ts:149-200)."""
+
+    def sum_as_poly_in_first_variable(self, claim: QM31) -> UnivariatePoly:
+        half = self.evals.shape[1] // 2
+        y0 = npqm31.sum_all(self.evals[:, :half])
+        y1 = claim - y0
+        return UnivariatePoly.interpolate_lagrange(
+            [QM31.zero(), QM31.one()], [y0, y1])
+
+    def fix_first_variable(self, assignment: QM31) -> "SecureMle":
+        return SecureMle(super().fix_first_variable(assignment).evals)

@@ -55,30 +55,44 @@ def _g(v, a, b, c, d, x, y):
     v[b] = _rotr(v[b] ^ v[c], 7)
 
 
+_SIGMA_ARR = np.array(SIGMA, dtype=np.int32)  # [10, 16]
+
+
 def compress(h, m, t, is_final):
     """One blake2s block compress, batched over leading axes.
 
     h: uint32[..., 8]; m: uint32[..., 16]; t: byte counter (int);
     is_final: bool.
+
+    Rounds run under lax.fori_loop with the SIGMA schedule as a gathered
+    lookup -- this keeps the XLA graph ~10x smaller than full unrolling
+    (compile time matters: tree commits hash many distinct layer shapes).
     """
+    lead = h.shape[:-1]
     v = [h[..., i] for i in range(8)] + [
-        jnp.broadcast_to(jnp.uint32(IV[i]), h.shape[:-1]) for i in range(8)
+        jnp.broadcast_to(jnp.uint32(IV[i]), lead) for i in range(8)
     ]
     v[12] = v[12] ^ jnp.uint32(t & 0xFFFFFFFF)
     v[13] = v[13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF)
     if is_final:
         v[14] = v[14] ^ jnp.uint32(0xFFFFFFFF)
-    ms = [m[..., i] for i in range(16)]
-    for r in range(10):
-        s = SIGMA[r]
-        _g(v, 0, 4, 8, 12, ms[s[0]], ms[s[1]])
-        _g(v, 1, 5, 9, 13, ms[s[2]], ms[s[3]])
-        _g(v, 2, 6, 10, 14, ms[s[4]], ms[s[5]])
-        _g(v, 3, 7, 11, 15, ms[s[6]], ms[s[7]])
-        _g(v, 0, 5, 10, 15, ms[s[8]], ms[s[9]])
-        _g(v, 1, 6, 11, 12, ms[s[10]], ms[s[11]])
-        _g(v, 2, 7, 8, 13, ms[s[12]], ms[s[13]])
-        _g(v, 3, 4, 9, 14, ms[s[14]], ms[s[15]])
+    sigma = jnp.asarray(_SIGMA_ARR)
+
+    def round_body(r, carry):
+        v = list(carry)
+        s = sigma[r]
+        ms = [jnp.take(m, s[i], axis=-1) for i in range(16)]
+        _g(v, 0, 4, 8, 12, ms[0], ms[1])
+        _g(v, 1, 5, 9, 13, ms[2], ms[3])
+        _g(v, 2, 6, 10, 14, ms[4], ms[5])
+        _g(v, 3, 7, 11, 15, ms[6], ms[7])
+        _g(v, 0, 5, 10, 15, ms[8], ms[9])
+        _g(v, 1, 6, 11, 12, ms[10], ms[11])
+        _g(v, 2, 7, 8, 13, ms[12], ms[13])
+        _g(v, 3, 4, 9, 14, ms[14], ms[15])
+        return tuple(v)
+
+    v = list(jax.lax.fori_loop(0, 10, round_body, tuple(v)))
     out = [h[..., i] ^ v[i] ^ v[i + 8] for i in range(8)]
     return jnp.stack(out, axis=-1)
 

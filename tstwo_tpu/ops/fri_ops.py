@@ -1,0 +1,105 @@
+"""Device kernels for FRI folding and decomposition.
+
+fold_line / fold_circle_into_line are inverse butterflies with precomputed
+inverse twiddles plus an alpha-linear combination (reference fri.ts:120-192,
+backend/cpu/fri.ts:23-92).  Values are QM31 SoA arrays [4, n], bit-reversed
+order; adjacent pairs are (p, -p) cosets.
+
+Twiddle sources:
+  * fold_line: 1/x at bit-reversed half-coset positions == an inverse
+    twiddle-tree layer (the half_odds tower is closed under doubling).
+  * fold_circle_into_line: 1/y over the domain's half coset, bit-reversed
+    (precomputed per-domain on host, cached).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import m31, qm31
+
+
+@jax.jit
+def fold_line(values: jnp.ndarray, itwiddles: jnp.ndarray,
+              alpha: jnp.ndarray) -> jnp.ndarray:
+    """[4, n] -> [4, n/2]: f' = f0 + alpha*f1 with (f0, f1) = ibutterfly pairs."""
+    v0 = values[:, 0::2]
+    v1 = values[:, 1::2]
+    f0 = qm31.add(v0, v1)
+    f1 = m31.mul(m31.sub(v0, v1), itwiddles[None, :])
+    return qm31.add(f0, qm31.mul(f1, alpha[:, None]))
+
+
+@jax.jit
+def fold_circle_into_line(dst: jnp.ndarray, src: jnp.ndarray,
+                          y_itwiddles: jnp.ndarray,
+                          alpha: jnp.ndarray) -> jnp.ndarray:
+    """dst <- dst * alpha^2 + (alpha*f1 + f0) (reference fri.ts:162-192)."""
+    v0 = src[:, 0::2]
+    v1 = src[:, 1::2]
+    f0 = qm31.add(v0, v1)
+    f1 = m31.mul(m31.sub(v0, v1), y_itwiddles[None, :])
+    f_prime = qm31.add(qm31.mul(f1, alpha[:, None]), f0)
+    alpha_sq = qm31.mul(alpha, alpha)
+    return qm31.add(qm31.mul(dst, alpha_sq[:, None]), f_prime)
+
+
+@jax.jit
+def decompose(values: jnp.ndarray):
+    """Split a FRI-space secure eval into fft-space part + lambda.
+
+    lambda = (sum(first half) - sum(second half)) / N; g = v -/+ lambda
+    (reference backend/cpu/fri.ts:96-163).
+    """
+    n = values.shape[-1]
+    half = n // 2
+
+    def tree_sum(x):
+        # log-depth pairwise reduction keeps every add a partial reduce
+        while x.shape[-1] > 1:
+            x = m31.add(x[..., 0::2], x[..., 1::2])
+        return x[..., 0]
+
+    a_sum = tree_sum(values[:, :half])
+    b_sum = tree_sum(values[:, half:])
+    n_inv = m31.inv(jnp.full((), n % ((1 << 31) - 1), dtype=jnp.uint32))
+    lam = m31.mul(m31.sub(a_sum, b_sum), n_inv)  # [4]
+    g_first = qm31.sub(values[:, :half], lam[:, None])
+    g_second = qm31.add(values[:, half:], lam[:, None])
+    return jnp.concatenate([g_first, g_second], axis=1), lam
+
+
+def domain_y_itwiddles(domain) -> jnp.ndarray:
+    """1/y over the half coset in bit-reversed order (for circle->line fold)."""
+    return _domain_y_itwiddles_cached(
+        domain.half_coset.initial_index.value, domain.half_coset.log_size)
+
+
+@lru_cache(maxsize=None)
+def _domain_y_itwiddles_cached(initial_index: int, log_size: int) -> jnp.ndarray:
+    from ..circle import CirclePointIndex, Coset
+    from ..poly.twiddles import _coset_halves_xy
+    from ..utils import bit_reverse_permutation
+
+    coset = Coset(CirclePointIndex(initial_index), log_size)
+    # need ALL points of the half coset, i.e. first half of the doubled-size
+    # view: build from the full coset directly
+    half = coset.size()
+    init = coset.initial
+    P = (1 << 31) - 1
+    xs = np.array([init.x.value], dtype=np.uint64)
+    ys = np.array([init.y.value], dtype=np.uint64)
+    j = 0
+    while len(xs) < half:
+        sp = coset.step_size.scale(1 << j).to_point()
+        sx, sy = np.uint64(sp.x.value), np.uint64(sp.y.value)
+        nx = (xs * sx + np.uint64(P) * P - ys * sy) % P
+        ny = (xs * sy + ys * sx) % P
+        xs = np.concatenate([xs, nx])
+        ys = np.concatenate([ys, ny])
+        j += 1
+    perm = bit_reverse_permutation(log_size)
+    return jnp.asarray(m31.np_inv(ys[perm].astype(np.uint32)))

@@ -83,7 +83,8 @@ def inv(x):
 
 
 def conj(x):
-    return jnp.stack([x[0], m31.neg(x[1]), x[2], m31.neg(x[3])])
+    """Galois conjugation u -> -u: (c0, -c1) (see fields.QM31.complex_conjugate)."""
+    return jnp.stack([x[0], x[1], m31.neg(x[2]), m31.neg(x[3])])
 
 
 def from_m31(a):

@@ -1,0 +1,174 @@
+"""CommitmentSchemeProver: commit trees of circle polys, then open at
+sampled points via DEEP quotients + FRI + PoW + Merkle decommitments.
+
+Built from the embedded Rust spec (reference pcs/prover.ts:28-252); the TS
+file contains no implementation.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..circle import CirclePoint
+from ..fields import M31, QM31
+from ..fri import FriProof, FriProver
+from ..poly.circle_poly import (CircleEvaluation, CirclePoly,
+                                eval_columns_at_point)
+from ..poly.twiddles import TwiddleTree
+from ..proof_of_work import grind
+from ..vcs import MerkleDecommitment, MerkleProver
+from . import PcsConfig, TreeSubspan
+from .quotients import PointSample, compute_fri_quotients
+from .utils import TreeVec
+
+
+@dataclass
+class CommitmentSchemeProof:
+    """reference pcs/prover.ts:159-168 (embedded Rust struct)."""
+
+    config: PcsConfig
+    commitments: TreeVec  # of bytes
+    sampled_values: TreeVec  # per tree: per column: List[QM31]
+    decommitments: TreeVec  # of MerkleDecommitment
+    queried_values: TreeVec  # per tree: List[M31]
+    proof_of_work: int
+    fri_proof: FriProof
+
+    def size_estimate(self) -> int:
+        size = 0
+        size += 32 * len(self.commitments)
+        size += 16 * len(self.sampled_values.flatten_cols())
+        size += sum(d.size_estimate() for d in self.decommitments)
+        size += 4 * sum(len(v) for v in self.queried_values)
+        size += 8
+        size += 16 * len(self.fri_proof.first_layer.fri_witness)
+        size += self.fri_proof.first_layer.decommitment.size_estimate() + 32
+        for layer in self.fri_proof.inner_layers:
+            size += 16 * len(layer.fri_witness)
+            size += layer.decommitment.size_estimate() + 32
+        size += 16 * len(self.fri_proof.last_layer_poly)
+        return size
+
+
+class CommitmentTreeProver:
+    """One committed set of polynomials (reference pcs/prover.ts:209-252)."""
+
+    def __init__(self, polynomials: List[CirclePoly], log_blowup_factor: int,
+                 channel, twiddles: TwiddleTree):
+        from ..circle import CanonicCoset
+
+        self.polynomials = polynomials
+        self.evaluations: List[CircleEvaluation] = []
+        for poly in polynomials:
+            domain = CanonicCoset.new(
+                poly.log_size() + log_blowup_factor).circle_domain()
+            self.evaluations.append(poly.evaluate(domain, twiddles))
+        self.commitment = MerkleProver.commit(
+            [ev.values for ev in self.evaluations])
+        channel.mix_root(self.commitment.root())
+
+    def decommit(self, queries: Dict[int, List[int]]):
+        return self.commitment.decommit(
+            queries, [ev.values for ev in self.evaluations])
+
+
+class TreeBuilder:
+    def __init__(self, scheme: "CommitmentSchemeProver", tree_index: int):
+        self._scheme = scheme
+        self.tree_index = tree_index
+        self.polys: List[CirclePoly] = []
+
+    def extend_polys(self, columns: Sequence[CirclePoly]) -> TreeSubspan:
+        start = len(self.polys)
+        self.polys.extend(columns)
+        return TreeSubspan(self.tree_index, start, len(self.polys))
+
+    def extend_evals(self, columns: Sequence[CircleEvaluation]) -> TreeSubspan:
+        polys = [col.interpolate(self._scheme.twiddles) for col in columns]
+        return self.extend_polys(polys)
+
+    def commit(self, channel) -> None:
+        self._scheme._commit(self.polys, channel)
+
+
+class CommitmentSchemeProver:
+    def __init__(self, config: PcsConfig, twiddles: TwiddleTree):
+        self.config = config
+        self.twiddles = twiddles
+        self.trees: TreeVec = TreeVec()
+
+    def _commit(self, polynomials: List[CirclePoly], channel) -> None:
+        self.trees.append(CommitmentTreeProver(
+            polynomials, self.config.fri_config.log_blowup_factor, channel,
+            self.twiddles))
+
+    def tree_builder(self) -> TreeBuilder:
+        return TreeBuilder(self, len(self.trees))
+
+    def roots(self) -> TreeVec:
+        return TreeVec(t.commitment.root() for t in self.trees)
+
+    def polynomials(self) -> TreeVec:
+        return TreeVec(list(t.polynomials) for t in self.trees)
+
+    def evaluations(self) -> TreeVec:
+        return TreeVec(list(t.evaluations) for t in self.trees)
+
+    def trace(self):
+        from ..air import Trace
+
+        return Trace(self.polynomials(), self.evaluations())
+
+    def prove_values(self, sampled_points: TreeVec, channel
+                     ) -> CommitmentSchemeProof:
+        """reference pcs/prover.ts:86-156 (embedded Rust prove_values)."""
+        # 1. Evaluate polynomials at the open points (batched per tree+size).
+        samples = TreeVec()
+        for tree, tree_points in zip(self.trees, sampled_points):
+            tree_samples = []
+            for poly, points in zip(tree.polynomials, tree_points):
+                tree_samples.append([
+                    PointSample(p, poly.eval_at_point(p)) for p in points])
+            samples.append(tree_samples)
+        sampled_values = TreeVec(
+            [[s.value for s in col] for col in tree] for tree in samples)
+        channel.mix_felts(
+            [v for tree in sampled_values for col in tree for v in col])
+
+        # 2. DEEP quotients on device.
+        columns = self.evaluations().flatten()
+        flat_samples = samples.flatten()
+        random_coeff = channel.draw_felt()
+        quotients = compute_fri_quotients(
+            columns, flat_samples, random_coeff,
+            self.config.fri_config.log_blowup_factor)
+
+        # 3. FRI commitment phase.
+        fri_prover = FriProver.commit(
+            channel, self.config.fri_config, quotients, self.twiddles)
+
+        # 4. Proof of work.
+        proof_of_work = grind(channel, self.config.pow_bits)
+        channel.mix_u64(proof_of_work)
+
+        # 5. FRI decommitment + Merkle decommitments.
+        fri_proof, query_positions_per_log_size = fri_prover.decommit(channel)
+        queried_values = TreeVec()
+        decommitments = TreeVec()
+        for tree in self.trees:
+            values, dec = tree.decommit(query_positions_per_log_size)
+            queried_values.append(values)
+            decommitments.append(dec)
+
+        return CommitmentSchemeProof(
+            config=self.config,
+            commitments=self.roots(),
+            sampled_values=sampled_values,
+            decommitments=decommitments,
+            queried_values=queried_values,
+            proof_of_work=proof_of_work,
+            fri_proof=fri_proof,
+        )

@@ -1,0 +1,326 @@
+"""DEEP/FRI quotient computation.
+
+For a column f and a sample (p, v), the quotient is (f(x) - V0(x)) / V1(x)
+where V0 interpolates (p, v), (conj(p), conj(v)) and V1 vanishes on
+{p, conj(p)}; batches of columns sampled at the same point are combined by
+powers of a random coefficient (reference pcs/quotients.ts embedded Rust,
+backend/cpu/quotients.ts).
+
+The whole-domain accumulation (HOT LOOP #4) runs on device: per sample
+batch, a CM31 denominator per row, a QM31 numerator (c*F - (a*y+b)) per
+column, batch-inverse + Horner accumulation -- all jnp uint32 arrays.  The
+verifier's per-query recomputation (fri_answers) is host-side scalar code.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Dict, Iterator, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circle import CanonicCoset, CircleDomain, CirclePoint
+from ..fields import CM31, M31, QM31
+from ..ops import cm31 as cm31_ops
+from ..ops import m31 as m31_ops
+from ..ops import qm31 as qm31_ops
+from ..poly.circle_poly import CircleEvaluation, SecureEvaluation
+from ..utils import bit_reverse_permutation
+from .utils import TreeVec
+
+P = (1 << 31) - 1
+
+
+@dataclass(frozen=True)
+class PointSample:
+    point: CirclePoint  # CirclePoint[QM31]
+    value: QM31
+
+
+@dataclass
+class ColumnSampleBatch:
+    point: CirclePoint
+    columns_and_values: List[Tuple[int, QM31]]
+
+    @staticmethod
+    def new_vec(samples: Sequence[Sequence[PointSample]]) -> List["ColumnSampleBatch"]:
+        """Group samples by point, insertion-ordered (embedded Rust IndexMap)."""
+        grouped: Dict[Tuple, List[Tuple[int, QM31]]] = {}
+        order: List[Tuple] = []
+        points: Dict[Tuple, CirclePoint] = {}
+        for column_index, column_samples in enumerate(samples):
+            for s in column_samples:
+                key = (s.point.x.to_ints(), s.point.y.to_ints())
+                if key not in grouped:
+                    grouped[key] = []
+                    order.append(key)
+                    points[key] = s.point
+                grouped[key].append((column_index, s.value))
+        return [ColumnSampleBatch(points[k], grouped[k]) for k in order]
+
+
+def complex_conjugate_line_coeffs(sample: PointSample,
+                                  alpha: QM31) -> Tuple[QM31, QM31, QM31]:
+    """(alpha*a, alpha*b, alpha*c) for the line through (p, v), (conj p, conj v)
+    (reference constraints.ts:117-128)."""
+    if sample.point.y == sample.point.y.complex_conjugate():
+        raise ValueError("Cannot evaluate a line with a single point")
+    a = sample.value.complex_conjugate() - sample.value
+    c = sample.point.complex_conjugate().y - sample.point.y
+    b = sample.value * c - a * sample.point.y
+    return (alpha * a, alpha * b, alpha * c)
+
+
+@dataclass
+class QuotientConstants:
+    line_coeffs: List[List[Tuple[QM31, QM31, QM31]]]
+    batch_random_coeffs: List[QM31]
+
+
+def quotient_constants(sample_batches: Sequence[ColumnSampleBatch],
+                       random_coeff: QM31) -> QuotientConstants:
+    line_coeffs = []
+    for batch in sample_batches:
+        alpha = QM31.one()
+        coeffs = []
+        for _, value in batch.columns_and_values:
+            alpha = alpha * random_coeff
+            coeffs.append(complex_conjugate_line_coeffs(
+                PointSample(batch.point, value), alpha))
+        line_coeffs.append(coeffs)
+    batch_coeffs = [random_coeff.pow(len(b.columns_and_values))
+                    for b in sample_batches]
+    return QuotientConstants(line_coeffs, batch_coeffs)
+
+
+# ---------------------------------------------------------------------------
+# Device path
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _domain_points_bitrev(initial_index: int, half_log_size: int
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(x, y) of all domain points in bit-reversed evaluation order."""
+    from ..circle import CirclePointIndex, Coset
+
+    half_coset = Coset(CirclePointIndex(initial_index), half_log_size)
+    half = half_coset.size()
+    init = half_coset.initial
+    xs = np.array([init.x.value], dtype=np.uint64)
+    ys = np.array([init.y.value], dtype=np.uint64)
+    j = 0
+    while len(xs) < half:
+        sp = half_coset.step_size.scale(1 << j).to_point()
+        sx, sy = np.uint64(sp.x.value), np.uint64(sp.y.value)
+        nx = (xs * sx + np.uint64(P) * P - ys * sy) % P
+        ny = (xs * sy + ys * sx) % P
+        xs = np.concatenate([xs, nx])
+        ys = np.concatenate([ys, ny])
+        j += 1
+    # natural domain order: half coset then its conjugate
+    full_x = np.concatenate([xs, xs])
+    full_y = np.concatenate([ys, (P - ys) % P])
+    perm = bit_reverse_permutation(half_log_size + 1)
+    return (jnp.asarray(full_x[perm].astype(np.uint32)),
+            jnp.asarray(full_y[perm].astype(np.uint32)))
+
+
+def domain_points_bitrev(domain: CircleDomain):
+    return _domain_points_bitrev(domain.half_coset.initial_index.value,
+                                 domain.half_coset.log_size)
+
+
+@jax.jit
+def _accumulate_quotients_kernel(columns, xs, ys, prx, pry, pix, piy,
+                                 line_a, line_b, line_c, batch_coeff,
+                                 batch_col_idx_mask):
+    """One fused pass over the domain for all sample batches.
+
+    columns: uint32[K, n]; xs/ys: uint32[n];
+    prx/pry/pix/piy: uint32[n_batches, 2]   (CM31 parts of P = Pr + u*Pi)
+    line_a/b/c: uint32[n_batches, max_cols, 4]
+    batch_coeff: uint32[n_batches, 4]
+    batch_col_idx_mask: int32[n_batches, max_cols] column index or -1
+    """
+    n = columns.shape[-1]
+    n_batches = prx.shape[0]
+    max_cols = line_a.shape[1]
+    row_acc = jnp.zeros((4, n), dtype=jnp.uint32)
+    for b in range(n_batches):
+        # denominator: (prx - x) * piy - (pry - y) * pix   in CM31
+        prx_b = jnp.stack([jnp.broadcast_to(prx[b, 0], (n,)),
+                           jnp.broadcast_to(prx[b, 1], (n,))])
+        pry_b = jnp.stack([jnp.broadcast_to(pry[b, 0], (n,)),
+                           jnp.broadcast_to(pry[b, 1], (n,))])
+        pix_b = jnp.stack([jnp.broadcast_to(pix[b, 0], (n,)),
+                           jnp.broadcast_to(pix[b, 1], (n,))])
+        piy_b = jnp.stack([jnp.broadcast_to(piy[b, 0], (n,)),
+                           jnp.broadcast_to(piy[b, 1], (n,))])
+        dx = cm31_ops.sub(prx_b, cm31_ops.from_m31(xs))
+        dy = cm31_ops.sub(pry_b, cm31_ops.from_m31(ys))
+        denom = cm31_ops.sub(cm31_ops.mul(dx, piy_b), cm31_ops.mul(dy, pix_b))
+        denom_inv = cm31_ops.inv(denom)
+        numerator = jnp.zeros((4, n), dtype=jnp.uint32)
+        for j in range(max_cols):
+            col_idx = batch_col_idx_mask[b, j]
+            valid = col_idx >= 0
+            col = columns[jnp.maximum(col_idx, 0)]
+            # value = c * F(row)
+            value = m31_ops.mul(
+                jnp.broadcast_to(line_c[b, j][:, None], (4, n)),
+                col[None, :])
+            # linear = a * y + b
+            linear = qm31_ops.add(
+                m31_ops.mul(jnp.broadcast_to(line_a[b, j][:, None], (4, n)),
+                            ys[None, :]),
+                jnp.broadcast_to(line_b[b, j][:, None], (4, n)))
+            contrib = qm31_ops.sub(value, linear)
+            numerator = jnp.where(valid, qm31_ops.add(numerator, contrib),
+                                  numerator)
+        bc = jnp.broadcast_to(batch_coeff[b][:, None], (4, n))
+        row_acc = qm31_ops.add(qm31_ops.mul(row_acc, bc),
+                               qm31_ops.mul_cm31(numerator, denom_inv))
+    return row_acc
+
+
+def accumulate_quotients(domain: CircleDomain,
+                         columns: Sequence[jnp.ndarray],
+                         random_coeff: QM31,
+                         sample_batches: Sequence[ColumnSampleBatch],
+                         log_blowup_factor: int) -> SecureEvaluation:
+    """Device quotient accumulation (reference backend/cpu/quotients.ts:52-75)."""
+    consts = quotient_constants(sample_batches, random_coeff)
+    xs, ys = domain_points_bitrev(domain)
+    cols = jnp.stack([jnp.asarray(c) for c in columns])
+    n_batches = len(sample_batches)
+    max_cols = max(len(b.columns_and_values) for b in sample_batches)
+
+    def qm(v):
+        return np.asarray(v.to_ints(), dtype=np.uint32)
+
+    prx = np.zeros((n_batches, 2), np.uint32)
+    pry = np.zeros((n_batches, 2), np.uint32)
+    pix = np.zeros((n_batches, 2), np.uint32)
+    piy = np.zeros((n_batches, 2), np.uint32)
+    line_a = np.zeros((n_batches, max_cols, 4), np.uint32)
+    line_b = np.zeros((n_batches, max_cols, 4), np.uint32)
+    line_c = np.zeros((n_batches, max_cols, 4), np.uint32)
+    bcoef = np.zeros((n_batches, 4), np.uint32)
+    idx_mask = np.full((n_batches, max_cols), -1, np.int32)
+    for b, batch in enumerate(sample_batches):
+        px, py = batch.point.x, batch.point.y
+        prx[b] = (px.c0.a, px.c0.b)
+        pry[b] = (py.c0.a, py.c0.b)
+        pix[b] = (px.c1.a, px.c1.b)
+        piy[b] = (py.c1.a, py.c1.b)
+        bcoef[b] = qm(consts.batch_random_coeffs[b])
+        for j, ((col_idx, _), (a, bb, c)) in enumerate(
+                zip(batch.columns_and_values, consts.line_coeffs[b])):
+            line_a[b, j] = qm(a)
+            line_b[b, j] = qm(bb)
+            line_c[b, j] = qm(c)
+            idx_mask[b, j] = col_idx
+    values = _accumulate_quotients_kernel(
+        cols, xs, ys, jnp.asarray(prx), jnp.asarray(pry), jnp.asarray(pix),
+        jnp.asarray(piy), jnp.asarray(line_a), jnp.asarray(line_b),
+        jnp.asarray(line_c), jnp.asarray(bcoef), jnp.asarray(idx_mask))
+    return SecureEvaluation(domain, values)
+
+
+def compute_fri_quotients(columns: Sequence[CircleEvaluation],
+                          samples: Sequence[List[PointSample]],
+                          random_coeff: QM31,
+                          log_blowup_factor: int) -> List[SecureEvaluation]:
+    """Group columns by log size (descending) and accumulate
+    (embedded Rust pcs/quotients.rs compute_fri_quotients)."""
+    by_log: Dict[int, List[int]] = {}
+    for i, col in enumerate(columns):
+        by_log.setdefault(col.domain.log_size(), []).append(i)
+    out = []
+    for log_size in sorted(by_log, reverse=True):
+        idxs = by_log[log_size]
+        domain = CanonicCoset.new(log_size).circle_domain()
+        sub_samples = [samples[i] for i in idxs]
+        sample_batches = ColumnSampleBatch.new_vec(sub_samples)
+        out.append(accumulate_quotients(
+            domain, [columns[i].values for i in idxs], random_coeff,
+            sample_batches, log_blowup_factor))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host path (verifier per-query recomputation)
+# ---------------------------------------------------------------------------
+
+def accumulate_row_quotients(sample_batches: Sequence[ColumnSampleBatch],
+                             queried_values_at_row: Sequence[M31],
+                             constants: QuotientConstants,
+                             domain_point: CirclePoint) -> QM31:
+    """reference backend/cpu/quotients.ts:80-116 (denominator in CM31 per the
+    Rust ground truth, not the TS real-part-only deviation)."""
+    denominators = []
+    for batch in sample_batches:
+        prx, pry = batch.point.x.c0, batch.point.y.c0
+        pix, piy = batch.point.x.c1, batch.point.y.c1
+        denominators.append(
+            (prx.sub_m31(domain_point.x)) * piy
+            - (pry.sub_m31(domain_point.y)) * pix)
+    from ..fields import batch_inverse
+
+    denominator_inverses = batch_inverse(denominators)
+    row_acc = QM31.zero()
+    for batch, line_coeffs, batch_coeff, dinv in zip(
+            sample_batches, constants.line_coeffs,
+            constants.batch_random_coeffs, denominator_inverses):
+        numerator = QM31.zero()
+        for (column_index, _), (a, b, c) in zip(batch.columns_and_values,
+                                                line_coeffs):
+            value = c.mul_m31(queried_values_at_row[column_index])
+            linear = a.mul_m31(domain_point.y) + b
+            numerator = numerator + (value - linear)
+        row_acc = row_acc * batch_coeff + numerator.mul_cm31(dinv)
+    return row_acc
+
+
+def fri_answers(column_log_sizes: TreeVec,
+                samples: TreeVec,
+                random_coeff: QM31,
+                query_positions_per_log_size: Dict[int, List[int]],
+                queried_values: TreeVec,
+                n_columns_per_log_size: TreeVec) -> List[List[QM31]]:
+    """Recompute quotient values at queried points
+    (embedded Rust pcs/quotients.rs fri_answers)."""
+    iters = TreeVec(iter(v) for v in queried_values)
+    flat = list(zip(column_log_sizes.flatten(), samples.flatten()))
+    by_log: Dict[int, List] = {}
+    for log_size, sample in flat:
+        by_log.setdefault(log_size, []).append(sample)
+    out = []
+    for log_size in sorted(by_log, reverse=True):
+        out.append(_fri_answers_for_log_size(
+            log_size, by_log[log_size], random_coeff,
+            query_positions_per_log_size[log_size], iters,
+            TreeVec(npl.get(log_size, 0) for npl in n_columns_per_log_size)))
+    return out
+
+
+def _fri_answers_for_log_size(log_size, samples, random_coeff,
+                              query_positions, queried_values_iters,
+                              n_columns) -> List[QM31]:
+    from ..utils import bit_reverse_index
+
+    sample_batches = ColumnSampleBatch.new_vec(samples)
+    constants = quotient_constants(sample_batches, random_coeff)
+    commitment_domain = CanonicCoset.new(log_size).circle_domain()
+    out = []
+    for q in query_positions:
+        domain_point = commitment_domain.at(bit_reverse_index(q, log_size))
+        row_values: List[M31] = []
+        for it, n_cols in zip(queried_values_iters, n_columns):
+            for _ in range(n_cols):
+                row_values.append(next(it))
+        out.append(accumulate_row_quotients(
+            sample_batches, row_values, constants, domain_point))
+    return out
