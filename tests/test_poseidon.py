@@ -1,0 +1,46 @@
+"""Poseidon252 tests against exact Rust stwo oracles
+(reference test/vcs/poseidon252_merkle.test.ts, test/channel/poseidon.test.ts)."""
+from tstwo_tpu.channel.poseidon import (FieldElement252, Poseidon252Channel,
+                                        poseidon_hash, poseidon_hash_many)
+from tstwo_tpu.fields import M31, QM31
+from tstwo_tpu.vcs.poseidon252_merkle import hash_node
+
+
+def test_hash_node_no_children_exact():
+    result = hash_node(None, [M31(0), M31(1)])
+    assert result.value == 2552053700073128806553921687214114320458351061521275103654266875084493044716
+
+
+def test_hash_node_with_children_exact():
+    result = hash_node((FieldElement252(1), FieldElement252(2)), [M31(3)])
+    assert result.value == 159358216886023795422515519110998391754567506678525778721401012606792642769
+
+
+def test_channel_mix_u32s_exact():
+    ch = Poseidon252Channel()
+    ch.mix_u32s([1, 2, 3, 4, 5, 6, 7, 8, 9])
+    assert ch.digest.value == int(
+        "0x078f5cf6a2e7362b75fc1f94daeae7ebddd64e6b2db771717519af7193dfa80b", 16)
+
+
+def test_channel_time_semantics():
+    ch = Poseidon252Channel()
+    assert (ch.channel_time.n_challenges, ch.channel_time.n_sent) == (0, 0)
+    ch.draw_random_bytes()
+    assert (ch.channel_time.n_challenges, ch.channel_time.n_sent) == (0, 1)
+    ch.draw_felts(9)
+    assert (ch.channel_time.n_challenges, ch.channel_time.n_sent) == (0, 6)
+
+
+def test_mix_u64_equals_padded_u32s():
+    ch1 = Poseidon252Channel()
+    ch1.mix_u64(0x1111222233334444)
+    ch2 = Poseidon252Channel()
+    ch2.mix_u32s([0, 0, 0, 0, 0, 0x11112222, 0x33334444])
+    assert ch1.digest == ch2.digest
+
+
+def test_draws_differ():
+    ch = Poseidon252Channel()
+    assert ch.draw_felt() != ch.draw_felt()
+    assert ch.draw_random_bytes() != ch.draw_random_bytes()
