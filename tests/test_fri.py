@@ -95,3 +95,19 @@ def test_fri_rejects_high_degree():
     ch = Blake2sChannel()
     with pytest.raises(ValueError, match="invalid degree"):
         FriProver.commit(ch, config, [ev], tree)
+
+
+def test_fri_larger_last_layer():
+    # exercises LinePoly.eval_at_point with multiple doublings
+    config = FriConfig(3, 1, 2)
+    ev, _ = make_secure_eval(6, config.log_blowup_factor, seed=9)
+    tree = precompute_twiddles(ev.domain.half_coset)
+    ch = Blake2sChannel()
+    prover = FriProver.commit(ch, config, [ev], tree)
+    proof, _ = prover.decommit(ch)
+    assert len(proof.last_layer_poly) == 8
+    vch = Blake2sChannel()
+    verifier = FriVerifier.commit(vch, config, proof, [CirclePolyDegreeBound(6)])
+    vpos = verifier.sample_query_positions(vch)
+    evals = [query_evals_for_column(ev, vpos[ev.domain.log_size()])]
+    verifier.decommit(evals)

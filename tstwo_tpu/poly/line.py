@@ -88,14 +88,18 @@ class LinePoly:
         return len(self.coeffs)
 
     def eval_at_point(self, x: QM31) -> QM31:
-        """Fold over doublings of x (reference poly/line.ts:163-171)."""
+        """Fold over doublings of x (reference poly/line.ts:163-171).
+
+        The recursive fold applies doublings[0] at the top half-split, so
+        the bottom-up pairwise iteration consumes the factors reversed.
+        """
         doublings = []
         cur = x
         for _ in range(self.log_size()):
             doublings.append(cur)
             cur = CirclePoint.double_x(cur, QM31.one())
         vals = list(self.coeffs)
-        for f in doublings:
+        for f in reversed(doublings):
             vals = [vals[2 * i] + f * vals[2 * i + 1]
                     for i in range(len(vals) // 2)]
         return vals[0]
