@@ -72,16 +72,108 @@ def _butterfly_layer(values: jnp.ndarray, layer: int, twiddles: jnp.ndarray,
     return out.reshape(*lead, n)
 
 
+LANE_LOG = 7  # 128-lane tiling for the matrix-view fast path
+
+
+def _row_butterfly(v: jnp.ndarray, stride_rows: int, t: jnp.ndarray,
+                   inverse: bool) -> jnp.ndarray:
+    """Butterfly pairing rows r ^ stride_rows of v[Rows, Last].
+
+    Row-axis regrouping keeps the 128-lane axis intact, so XLA/Mosaic fuse
+    each layer into contiguous-block elementwise work (no per-layer
+    relayouts).  t broadcasts as [groups, 1, 1] or [groups, 1, Last].
+    """
+    rows, last = v.shape
+    x = v.reshape(rows // (2 * stride_rows), 2, stride_rows, last)
+    v0 = x[:, 0]
+    v1 = x[:, 1]
+    if not inverse:
+        prod = m31.mul(v1, t)
+        out = jnp.stack([m31.add(v0, prod), m31.sub(v0, prod)], axis=1)
+    else:
+        out = jnp.stack([m31.add(v0, v1), m31.mul(m31.sub(v0, v1), t)],
+                        axis=1)
+    return out.reshape(rows, last)
+
+
+def _prep_matrix_twiddles(line_twiddles, circle_twiddles, n_log: int):
+    """Split twiddles into row-layer arrays and lane-layer transposed
+    matrices T_l[c >> (l+1), r] for the matrix-view CFFT."""
+    r = 1 << (n_log - LANE_LOG)
+    high = [line_twiddles[l - 1].reshape(-1, 1, 1)
+            for l in range(n_log - 1, LANE_LOG - 1, -1)]
+    lows = [line_twiddles[l - 1].reshape(r, 1 << (LANE_LOG - 1 - l)).T
+            .reshape(-1, 1, r)
+            for l in range(LANE_LOG - 1, 0, -1)]
+    circ_t = circle_twiddles.reshape(r, 1 << (LANE_LOG - 1)).T \
+        .reshape(-1, 1, r)
+    return high, lows, circ_t
+
+
+def _fft_matrix(values, line_twiddles, circle_twiddles, n_log, inverse):
+    """Matrix-view CFFT: row layers, one transpose, lane layers as row
+    layers on the transposed view, transpose back.  Two real transposes
+    total instead of log2(N) strided relayouts."""
+    high, lows, circ_t = _prep_matrix_twiddles(line_twiddles,
+                                               circle_twiddles, n_log)
+    r = 1 << (n_log - LANE_LOG)
+    v = values.reshape(r, 128)
+    if not inverse:
+        for i, t in enumerate(high):
+            l = n_log - 1 - i
+            v = _row_butterfly(v, 1 << (l - LANE_LOG), t, False)
+        w = v.T
+        for i, t in enumerate(lows):
+            l = LANE_LOG - 1 - i
+            w = _row_butterfly(w, 1 << l, t, False)
+        w = _row_butterfly(w, 1, circ_t, False)
+        return w.T.reshape(1 << n_log)
+    else:
+        w = v.T
+        w = _row_butterfly(w, 1, circ_t, True)
+        for i, t in enumerate(reversed(lows)):
+            w = _row_butterfly(w, 1 << (i + 1), t, True)
+        v = w.T
+        for i, t in enumerate(reversed(high)):
+            v = _row_butterfly(v, 1 << i, t, True)
+        return v.reshape(1 << n_log)
+
+
+def _fft_small(values, line_twiddles, circle_twiddles, inverse):
+    n_log = len(line_twiddles) + 1
+    if not inverse:
+        for l in range(n_log - 1, 0, -1):
+            values = _butterfly_layer(values, l, line_twiddles[l - 1],
+                                      inverse=False)
+        return _butterfly_layer(values, 0, circle_twiddles, inverse=False)
+    values = _butterfly_layer(values, 0, circle_twiddles, inverse=True)
+    for l in range(1, n_log):
+        values = _butterfly_layer(values, l, line_twiddles[l - 1],
+                                  inverse=True)
+    return values
+
+
 @jax.jit
 def fft_natural_to_bitrev(values: jnp.ndarray,
                           line_twiddles: Sequence[jnp.ndarray],
                           circle_twiddles: jnp.ndarray) -> jnp.ndarray:
-    """Forward CFFT: coefficients (natural) -> evaluations (bit-reversed)."""
+    """Forward CFFT: coefficients (natural) -> evaluations (bit-reversed).
+
+    (reference backend/cpu/circle.ts:115-121 layer order; matrix-view fast
+    path for large 1-D columns, generic layered path otherwise.)
+    """
     n_log = len(line_twiddles) + 1
-    # line layers high -> low (reference backend/cpu/circle.ts:115-118)
-    for l in range(n_log - 1, 0, -1):
-        values = _butterfly_layer(values, l, line_twiddles[l - 1], inverse=False)
-    return _butterfly_layer(values, 0, circle_twiddles, inverse=False)
+    if n_log > LANE_LOG + 1:
+        if values.ndim == 1:
+            return _fft_matrix(values, line_twiddles, circle_twiddles,
+                               n_log, inverse=False)
+        lead = values.shape[:-1]
+        flat = values.reshape(-1, values.shape[-1])
+        out = jax.vmap(
+            lambda v: _fft_matrix(v, line_twiddles, circle_twiddles, n_log,
+                                  inverse=False))(flat)
+        return out.reshape(*lead, values.shape[-1])
+    return _fft_small(values, line_twiddles, circle_twiddles, inverse=False)
 
 
 @jax.jit
@@ -93,10 +185,17 @@ def ifft_bitrev_to_natural(values: jnp.ndarray,
     (reference backend/cpu/circle.ts:186-199)
     """
     n_log = len(line_itwiddles) + 1
-    values = _butterfly_layer(values, 0, circle_itwiddles, inverse=True)
-    for l in range(1, n_log):
-        values = _butterfly_layer(values, l, line_itwiddles[l - 1], inverse=True)
-    return values
+    if n_log > LANE_LOG + 1:
+        if values.ndim == 1:
+            return _fft_matrix(values, line_itwiddles, circle_itwiddles,
+                               n_log, inverse=True)
+        lead = values.shape[:-1]
+        flat = values.reshape(-1, values.shape[-1])
+        out = jax.vmap(
+            lambda v: _fft_matrix(v, line_itwiddles, circle_itwiddles,
+                                  n_log, inverse=True))(flat)
+        return out.reshape(*lead, values.shape[-1])
+    return _fft_small(values, line_itwiddles, circle_itwiddles, inverse=True)
 
 
 def fold(values: jnp.ndarray, factors, mul_fn, add_fn) -> jnp.ndarray:
