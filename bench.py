@@ -2,8 +2,12 @@
 
 Headline: M31 modular-multiply throughput per chip (the reference's only
 published number is 8.37e6 scalar muls/s on its CI host -- BASELINE.md).
-Also measures CFFT points/s and end-to-end proof latency; those ride along
-in auxiliary fields of the same JSON line.
+The aux dict carries the five BASELINE.json benchmark configs:
+  1. field-op batch throughput (m31 / qm31 multiply)
+  2. CFFT round trip at 2^20 (incl. bit-reverse)
+  3. SecureColumn DEEP-quotient accumulation at 2^20
+  4. FRI commit + Blake2s Merkle on a 2^22 column
+  5. end-to-end AIR prove+verify (canonical + wide-Fibonacci)
 """
 import json
 import os
@@ -15,6 +19,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_M31_MUL_OPS = 8_373_829.24  # reference bench/results.json
+P = (1 << 31) - 1
+
+
+def _timeit(fn, iters):
+    fn()  # warm/compile
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn()
+    import jax
+
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def bench_m31_mul():
@@ -25,30 +42,43 @@ def bench_m31_mul():
 
     n = 1 << 24
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.integers(0, (1 << 31) - 1, size=n, dtype=np.uint32))
-    b = jnp.asarray(rng.integers(0, (1 << 31) - 1, size=n, dtype=np.uint32))
+    a = jnp.asarray(rng.integers(0, P, size=n, dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, P, size=n, dtype=np.uint32))
 
     @jax.jit
     def chain(a, b):
-        # 8 dependent muls to amortize launch overhead while staying
-        # compute-bound
         x = a
         for _ in range(8):
             x = m31.mul(x, b)
         return x
 
-    chain(a, b).block_until_ready()  # compile
-    iters = 10
-    t0 = time.perf_counter()
-    x = None
-    for _ in range(iters):
-        x = chain(a, b)
-    x.block_until_ready()
-    dt = time.perf_counter() - t0
-    return 8 * n * iters / dt
+    dt = _timeit(lambda: chain(a, b), 10)
+    return 8 * n / dt
 
 
-def bench_cfft(log_n=20):
+def bench_qm31_mul():
+    import jax
+    import jax.numpy as jnp
+
+    from tstwo_tpu.ops import qm31
+
+    n = 1 << 22
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, P, size=(4, n), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, P, size=(4, n), dtype=np.uint32))
+
+    @jax.jit
+    def chain(a, b):
+        x = a
+        for _ in range(4):
+            x = qm31.mul(x, b)
+        return x
+
+    dt = _timeit(lambda: chain(a, b), 10)
+    return 4 * n / dt
+
+
+def bench_cfft_roundtrip(log_n=20):
     import jax
     import jax.numpy as jnp
 
@@ -61,66 +91,81 @@ def bench_cfft(log_n=20):
     n = 1 << log_n
     domain = CanonicCoset.new(log_n).circle_domain()
     tree = precompute_twiddles(domain.half_coset)
-    line = domain_line_twiddles(log_n, tree)
-    circ = circle_layer_twiddles(line[0])
-    rng = np.random.default_rng(1)
-    vals = jnp.asarray(rng.integers(0, (1 << 31) - 1, size=n, dtype=np.uint32))
-    fft_ops.fft_natural_to_bitrev(vals, line, circ).block_until_ready()
-    iters = 20
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fft_ops.fft_natural_to_bitrev(vals, line, circ)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return n * iters / dt
-
-
-def bench_cfft_pallas(log_n=20):
-    import jax.numpy as jnp
-
-    from tstwo_tpu.circle import CanonicCoset
-    from tstwo_tpu.ops.pallas import fft_kernels
-    from tstwo_tpu.poly.twiddles import (circle_layer_twiddles,
-                                         domain_line_twiddles,
-                                         precompute_twiddles)
-
-    n = 1 << log_n
-    domain = CanonicCoset.new(log_n).circle_domain()
-    tree = precompute_twiddles(domain.half_coset)
     line = tuple(domain_line_twiddles(log_n, tree))
     circ = circle_layer_twiddles(line[0])
+    line_i = tuple(domain_line_twiddles(log_n, tree, inverse=True))
+    circ_i = circle_layer_twiddles(line_i[0])
+    n_inv = jnp.uint32(pow(n, P - 2, P))
     rng = np.random.default_rng(1)
-    vals = jnp.asarray(rng.integers(0, (1 << 31) - 1, size=n, dtype=np.uint32))
-    fft_kernels.fft_fused(vals, line, circ, log_n).block_until_ready()
-    iters = 20
+    vals = jnp.asarray(rng.integers(0, P, size=n, dtype=np.uint32))
+
+    from tstwo_tpu.ops import m31
+
+    @jax.jit
+    def roundtrip(v):
+        ev = fft_ops.fft_natural_to_bitrev(v, line, circ)
+        ev = fft_ops.bit_reverse(ev, log_n)
+        ev = fft_ops.bit_reverse(ev, log_n)
+        back = fft_ops.ifft_bitrev_to_natural(ev, line_i, circ_i)
+        return m31.mul(back, n_inv)
+
+    dt = _timeit(lambda: roundtrip(vals), 10)
+    return n / dt
+
+
+def bench_quotients(log_n=20):
+    from tstwo_tpu.circle import SECURE_FIELD_CIRCLE_GEN, CanonicCoset
+    from tstwo_tpu.fields import QM31
+    from tstwo_tpu.ops import m31 as m31_ops
+    from tstwo_tpu.pcs.quotients import (ColumnSampleBatch, PointSample,
+                                         accumulate_quotients)
+    import jax
+
+    rng = np.random.default_rng(2)
+    n = 1 << log_n
+    domain = CanonicCoset.new(log_n).circle_domain()
+    cols = [m31_ops.asarray(rng.integers(0, P, size=n, dtype=np.uint32))
+            for _ in range(4)]
+    point = SECURE_FIELD_CIRCLE_GEN
+    samples = [[PointSample(point, QM31.from_u32_unchecked(i + 1, 2, 3, 4))]
+               for i in range(4)]
+    batches = ColumnSampleBatch.new_vec(samples)
+    coeff = QM31.from_u32_unchecked(5, 6, 7, 8)
+
+    def run():
+        return accumulate_quotients(domain, cols, coeff, batches, 1).values
+
+    dt = _timeit(run, 5)
+    return 4 * n / dt  # column-rows per second
+
+
+def bench_fri_commit(log_n=22):
+    from tstwo_tpu.channel.blake2s import Blake2sChannel
+    from tstwo_tpu.circle import CanonicCoset
+    from tstwo_tpu.fri import FriConfig, FriProver
+    from tstwo_tpu.ops import m31 as m31_ops
+    from tstwo_tpu.poly.circle_poly import SecureCirclePoly
+    from tstwo_tpu.poly.twiddles import precompute_twiddles
+
+    rng = np.random.default_rng(3)
+    config = FriConfig(0, 1, 10)
+    coeffs = rng.integers(0, P, size=(4, 1 << (log_n - 1)), dtype=np.uint32)
+    sp = SecureCirclePoly(m31_ops.asarray(coeffs))
+    domain = CanonicCoset.new(log_n).circle_domain()
+    ev = sp.evaluate(domain)
+    tree = precompute_twiddles(domain.half_coset)
+
+    def run():
+        ch = Blake2sChannel()
+        return FriProver.commit(ch, config, [ev], tree)
+
     t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fft_kernels.fft_fused(vals, line, circ, log_n)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return n * iters / dt
-
-
-def bench_m31_mul_pallas():
-    import jax.numpy as jnp
-
-    from tstwo_tpu.ops.pallas import m31_kernels
-
-    n = 1 << 24
-    rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.integers(0, (1 << 31) - 1, size=n, dtype=np.uint32))
-    b = jnp.asarray(rng.integers(0, (1 << 31) - 1, size=n, dtype=np.uint32))
-    m31_kernels.mul_chain(a, b, reps=8).block_until_ready()
-    iters = 10
+    run()
+    warm = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = m31_kernels.mul_chain(a, b, reps=8)
-    out.block_until_ready()
+    run()
     dt = time.perf_counter() - t0
-    return 8 * n * iters / dt
+    return (1 << log_n) / dt
 
 
 def bench_prove():
@@ -134,32 +179,43 @@ def bench_prove():
     return prove_s
 
 
-def _try(fn, *a):
+def bench_prove_wide_fib(log_n_rows=8, seq=32):
+    from tstwo_tpu.examples.wide_fibonacci import (prove_wide_fibonacci,
+                                                  verify_wide_fibonacci)
+
+    # warm (compile)
+    prove_wide_fibonacci(log_n_rows=log_n_rows, sequence_length=seq)
+    t0 = time.perf_counter()
+    proof, component, config = prove_wide_fibonacci(
+        log_n_rows=log_n_rows, sequence_length=seq)
+    dt = time.perf_counter() - t0
+    verify_wide_fibonacci(proof, component, config, log_n_rows=log_n_rows)
+    return dt
+
+
+def _try(fn, *a, **k):
     try:
-        return fn(*a)
+        return fn(*a, **k)
     except Exception:
         return None
 
 
 def main():
-    m31_xla = bench_m31_mul()
-    m31_pallas = _try(bench_m31_mul_pallas)
-    cfft_xla = _try(bench_cfft)
-    cfft_pallas = _try(bench_cfft_pallas)
-    prove_seconds = _try(bench_prove)
-    best = max(m31_xla, m31_pallas or 0)
+    m31_ops_per_s = bench_m31_mul()
+    aux = {
+        "qm31_mul_ops_per_s": _try(bench_qm31_mul),
+        "cfft_roundtrip_points_per_s_log20": _try(bench_cfft_roundtrip),
+        "quotient_cells_per_s_log20": _try(bench_quotients),
+        "fri_commit_points_per_s_log22": _try(bench_fri_commit),
+        "prove_basic_air_seconds_log4": _try(bench_prove),
+        "prove_wide_fib_seconds_log8x32": _try(bench_prove_wide_fib),
+    }
     print(json.dumps({
         "metric": "m31_mul_ops_per_s",
-        "value": best,
+        "value": m31_ops_per_s,
         "unit": "ops/s",
-        "vs_baseline": best / BASELINE_M31_MUL_OPS,
-        "aux": {
-            "m31_mul_xla": m31_xla,
-            "m31_mul_pallas": m31_pallas,
-            "cfft_points_per_s_log20_xla": cfft_xla,
-            "cfft_points_per_s_log20_pallas": cfft_pallas,
-            "prove_basic_air_seconds_log4": prove_seconds,
-        },
+        "vs_baseline": m31_ops_per_s / BASELINE_M31_MUL_OPS,
+        "aux": aux,
     }))
 
 

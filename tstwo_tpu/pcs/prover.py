@@ -19,6 +19,7 @@ from ..poly.circle_poly import (CircleEvaluation, CirclePoly,
                                 eval_columns_at_point)
 from ..poly.twiddles import TwiddleTree
 from ..proof_of_work import grind
+from ..tracing import span
 from ..vcs import MerkleDecommitment, MerkleProver
 from . import PcsConfig, TreeSubspan
 from .quotients import PointSample, compute_fri_quotients
@@ -62,12 +63,14 @@ class CommitmentTreeProver:
 
         self.polynomials = polynomials
         self.evaluations: List[CircleEvaluation] = []
-        for poly in polynomials:
-            domain = CanonicCoset.new(
-                poly.log_size() + log_blowup_factor).circle_domain()
-            self.evaluations.append(poly.evaluate(domain, twiddles))
-        self.commitment = MerkleProver.commit(
-            [ev.values for ev in self.evaluations])
+        with span("extension"):
+            for poly in polynomials:
+                domain = CanonicCoset.new(
+                    poly.log_size() + log_blowup_factor).circle_domain()
+                self.evaluations.append(poly.evaluate(domain, twiddles))
+        with span("merkle"):
+            self.commitment = MerkleProver.commit(
+                [ev.values for ev in self.evaluations])
         channel.mix_root(self.commitment.root())
 
     def decommit(self, queries: Dict[int, List[int]]):
@@ -125,43 +128,64 @@ class CommitmentSchemeProver:
     def prove_values(self, sampled_points: TreeVec, channel
                      ) -> CommitmentSchemeProof:
         """reference pcs/prover.ts:86-156 (embedded Rust prove_values)."""
-        # 1. Evaluate polynomials at the open points (batched per tree+size).
+        # 1. Evaluate polynomials at the open points, batching all columns
+        # of the same size sampled at the same point into one device fold.
+        from ..poly.circle_poly import eval_columns_at_point
+
+        oods_span = span("evaluate_columns_out_of_domain")
+        oods_span.__enter__()
         samples = TreeVec()
         for tree, tree_points in zip(self.trees, sampled_points):
-            tree_samples = []
-            for poly, points in zip(tree.polynomials, tree_points):
-                tree_samples.append([
-                    PointSample(p, poly.eval_at_point(p)) for p in points])
+            tree_samples = [[None] * len(points)
+                            for points in tree_points]
+            groups = {}  # (log_size, point_key) -> (point, [(col, point_idx)])
+            for ci, (poly, points) in enumerate(zip(tree.polynomials,
+                                                    tree_points)):
+                for pi, p in enumerate(points):
+                    key = (poly.log_size(), p.x.to_ints(), p.y.to_ints())
+                    groups.setdefault(key, (p, []))[1].append((ci, pi))
+            for (log_size, _, _), (point, members) in groups.items():
+                stack = jnp.stack(
+                    [tree.polynomials[ci].coeffs for ci, _ in members])
+                values = eval_columns_at_point(stack, point, log_size)
+                for (ci, pi), v in zip(members, values):
+                    tree_samples[ci][pi] = PointSample(point, v)
             samples.append(tree_samples)
         sampled_values = TreeVec(
             [[s.value for s in col] for col in tree] for tree in samples)
         channel.mix_felts(
             [v for tree in sampled_values for col in tree for v in col])
+        oods_span.__exit__(None, None, None)
 
         # 2. DEEP quotients on device.
         columns = self.evaluations().flatten()
         flat_samples = samples.flatten()
         random_coeff = channel.draw_felt()
-        quotients = compute_fri_quotients(
-            columns, flat_samples, random_coeff,
-            self.config.fri_config.log_blowup_factor)
+        with span("fri_quotients"):
+            quotients = compute_fri_quotients(
+                columns, flat_samples, random_coeff,
+                self.config.fri_config.log_blowup_factor)
 
         # 3. FRI commitment phase.
-        fri_prover = FriProver.commit(
-            channel, self.config.fri_config, quotients, self.twiddles)
+        with span("fri_commit"):
+            fri_prover = FriProver.commit(
+                channel, self.config.fri_config, quotients, self.twiddles)
 
         # 4. Proof of work.
-        proof_of_work = grind(channel, self.config.pow_bits)
+        with span("grind"):
+            proof_of_work = grind(channel, self.config.pow_bits)
         channel.mix_u64(proof_of_work)
 
         # 5. FRI decommitment + Merkle decommitments.
-        fri_proof, query_positions_per_log_size = fri_prover.decommit(channel)
-        queried_values = TreeVec()
-        decommitments = TreeVec()
-        for tree in self.trees:
-            values, dec = tree.decommit(query_positions_per_log_size)
-            queried_values.append(values)
-            decommitments.append(dec)
+        with span("decommitment"):
+            fri_proof, query_positions_per_log_size = fri_prover.decommit(
+                channel)
+            queried_values = TreeVec()
+            decommitments = TreeVec()
+            for tree in self.trees:
+                values, dec = tree.decommit(query_positions_per_log_size)
+                queried_values.append(values)
+                decommitments.append(dec)
 
         return CommitmentSchemeProof(
             config=self.config,

@@ -145,15 +145,8 @@ class CirclePoly:
     def eval_at_point(self, point: CirclePoint) -> QM31:
         """Evaluate at a QM31 point via hierarchical fold
         (reference backend/cpu/circle.ts:52-69)."""
-        log = self.log_size()
-        if log == 0:
-            return QM31.from_base(M31(int(self.coeffs[0])))
-        mappings = _mappings_for_point(point, log, QM31.one())
-        v = qm31_ops.from_m31(self.coeffs)
-        for f in mappings:
-            fb = qm31_ops.scalar(f)[:, None]
-            v = qm31_ops.add(v[:, 0::2], qm31_ops.mul(v[:, 1::2], fb))
-        return QM31.from_ints([int(v[i, 0]) for i in range(4)])
+        return eval_columns_at_point(self.coeffs[None, :], point,
+                                     self.log_size())[0]
 
     def is_in_fft_space(self, log_fft_size: int) -> bool:
         c = np.asarray(self.coeffs)
@@ -228,16 +221,27 @@ class SecureEvaluation:
         return SecureEvaluation(domain, jnp.asarray(arr))
 
 
+import jax as _jax
+
+
+@_jax.jit
+def _fold_columns_kernel(coeff_stack: jnp.ndarray, mappings) -> jnp.ndarray:
+    """One fused fold of [k, n] base columns by QM31 factors (list of [4])."""
+    v = qm31_ops.from_m31(coeff_stack)  # [4, k, n]
+    for f in mappings:
+        fb = f[:, None, None]
+        v = qm31_ops.add(v[:, :, 0::2], qm31_ops.mul(v[:, :, 1::2], fb))
+    return v[:, :, 0]
+
+
 def eval_columns_at_point(coeff_stack: jnp.ndarray, point: CirclePoint,
                           log_size: int) -> List[QM31]:
-    """Evaluate a batch of base-coefficient columns [k, n] at one QM31 point."""
+    """Evaluate a batch of base-coefficient columns [k, n] at one QM31 point
+    in a single fused device computation."""
     if log_size == 0:
         return [QM31.from_base(M31(int(coeff_stack[i, 0])))
                 for i in range(coeff_stack.shape[0])]
     mappings = _mappings_for_point(point, log_size, QM31.one())
-    v = qm31_ops.from_m31(coeff_stack)  # [4, k, n]
-    for f in mappings:
-        fb = qm31_ops.scalar(f)[:, None, None]
-        v = qm31_ops.add(v[:, :, 0::2], qm31_ops.mul(v[:, :, 1::2], fb))
-    out = np.asarray(v[:, :, 0])
+    factors = [qm31_ops.scalar(f) for f in mappings]
+    out = np.asarray(_fold_columns_kernel(coeff_stack, factors))
     return [QM31.from_ints(out[:, i].tolist()) for i in range(out.shape[1])]
