@@ -53,3 +53,59 @@ def test_sharded_ifft_roundtrip():
         rng.integers(0, (1 << 31) - 1, size=1 << log_n, dtype=np.uint32))
     out = np.asarray(inv(fwd(shard_column(coeffs, mesh))))
     np.testing.assert_array_equal(out, np.asarray(coeffs))
+
+
+def test_sharded_quotients_match_unsharded():
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    from tstwo_tpu.circle import SECURE_FIELD_CIRCLE_GEN, CanonicCoset
+    from tstwo_tpu.fields import QM31
+    from tstwo_tpu.parallel.ops import sharded_accumulate_quotients
+    from tstwo_tpu.pcs.quotients import (ColumnSampleBatch, PointSample,
+                                         accumulate_quotients)
+
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(0)
+    log_n = 8
+    domain = CanonicCoset.new(log_n).circle_domain()
+    cols = [m31_ops.asarray(rng.integers(0, (1 << 31) - 1, size=1 << log_n,
+                                         dtype=np.uint32)) for _ in range(3)]
+    point = SECURE_FIELD_CIRCLE_GEN
+    samples = [[PointSample(point, QM31.from_u32_unchecked(i + 1, 2, 3, 4))]
+               for i in range(3)]
+    batches = ColumnSampleBatch.new_vec(samples)
+    coeff = QM31.from_u32_unchecked(9, 8, 7, 6)
+    ref = accumulate_quotients(domain, cols, coeff, batches, 1)
+    out = sharded_accumulate_quotients(mesh, domain, cols, coeff, batches, 1)
+    np.testing.assert_array_equal(np.asarray(out.values),
+                                  np.asarray(ref.values))
+
+
+def test_sharded_fold_and_merkle_match():
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    import jax.numpy as jnp
+
+    from tstwo_tpu.ops import fri_ops
+    from tstwo_tpu.ops import qm31 as qm31_ops
+    from tstwo_tpu.fields import QM31
+    from tstwo_tpu.parallel.ops import (sharded_fold_line,
+                                        sharded_merkle_leaf_layer)
+    from tstwo_tpu.vcs.blake2s_merkle import commit_on_layer
+
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(1)
+    vals = m31_ops.asarray(rng.integers(0, (1 << 31) - 1, size=(4, 256),
+                                        dtype=np.uint32))
+    itw = m31_ops.asarray(rng.integers(1, (1 << 31) - 1, size=128,
+                                       dtype=np.uint32))
+    alpha = qm31_ops.scalar(QM31.from_u32_unchecked(1, 2, 3, 4))
+    ref = np.asarray(fri_ops.fold_line(vals, itw, alpha))
+    out = np.asarray(sharded_fold_line(mesh, vals, itw, alpha))
+    np.testing.assert_array_equal(out, ref)
+
+    cols = [m31_ops.asarray(rng.integers(0, (1 << 31) - 1, size=64,
+                                         dtype=np.uint32)) for _ in range(2)]
+    ref_h = commit_on_layer(6, None, cols)
+    out_h = sharded_merkle_leaf_layer(mesh, cols, 6)
+    np.testing.assert_array_equal(np.asarray(out_h), np.asarray(ref_h))
