@@ -161,11 +161,15 @@ class InsufficientWitnessError(Exception):
 
 
 def compute_decommitment_positions_and_witness_evals(
-    values: np.ndarray, query_positions: Sequence[int], fold_step: int
+    values, query_positions: Sequence[int], fold_step: int
 ) -> Tuple[List[int], List[QM31]]:
-    """reference fri.ts:346-384.  values: uint32[4, n] (SoA)."""
+    """reference fri.ts:346-384.  values: uint32[4, n] (device or numpy).
+
+    Only the query-adjacent positions are fetched from the device (one
+    small gather), never the whole column.
+    """
     decommitment_positions: List[int] = []
-    witness_evals: List[QM31] = []
+    witness_positions: List[int] = []
     i = 0
     qp = list(query_positions)
     while i < len(qp):
@@ -182,8 +186,14 @@ def compute_decommitment_positions_and_witness_evals(
             if sq < len(subset_queries) and subset_queries[sq] == pos:
                 sq += 1
                 continue
-            witness_evals.append(
-                QM31.from_ints([int(values[c, pos]) for c in range(4)]))
+            witness_positions.append(pos)
+    if witness_positions:
+        idx = jnp.asarray(np.array(witness_positions, dtype=np.int64))
+        vals = np.asarray(jnp.take(jnp.asarray(values), idx, axis=-1))
+        witness_evals = [QM31.from_ints(vals[:, k].tolist())
+                         for k in range(vals.shape[1])]
+    else:
+        witness_evals = []
     return decommitment_positions, witness_evals
 
 
@@ -249,7 +259,7 @@ class FriFirstLayerProver:
             log = se.domain.log_size()
             column_queries = queries.fold(queries.log_domain_size - log)
             positions, witness = compute_decommitment_positions_and_witness_evals(
-                np.asarray(se.values), column_queries.positions,
+                se.values, column_queries.positions,
                 CIRCLE_TO_LINE_FOLD_STEP)
             positions_by_log[log] = positions
             fri_witness.extend(witness)
@@ -268,7 +278,7 @@ class FriInnerLayerProver:
 
     def decommit(self, queries: Queries) -> FriLayerProof:
         positions, fri_witness = compute_decommitment_positions_and_witness_evals(
-            np.asarray(self.evaluation.values), list(queries.positions), FOLD_STEP)
+            self.evaluation.values, list(queries.positions), FOLD_STEP)
         log = self.evaluation.domain.log_size()
         cols = [self.evaluation.values[i] for i in range(4)]
         _, decommitment = self.merkle_tree.decommit({log: positions}, cols)

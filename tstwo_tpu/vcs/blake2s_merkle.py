@@ -27,13 +27,13 @@ def hash_node(children: Optional[Tuple[bytes, bytes]],
 
 
 def commit_on_layer(log_size: int,
-                    prev_layer: Optional[np.ndarray],
-                    columns: Sequence[jnp.ndarray]) -> np.ndarray:
+                    prev_layer,
+                    columns: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """Hash one Merkle layer on device.
 
     prev_layer: uint32[2^(log+1), 8] digest words of the child layer (or None
     at the leaf layer).  columns: base-field columns of length 2^log hashed
-    into this layer.  Returns uint32[2^log, 8].
+    into this layer.  Returns uint32[2^log, 8], device-resident.
     """
     n = 1 << log_size
     parts: List[jnp.ndarray] = []
@@ -48,8 +48,7 @@ def commit_on_layer(log_size: int,
         words = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     else:
         words = jnp.zeros((n, 0), dtype=jnp.uint32)
-    out = b2.hash_u32_batch(words, byte_len=4 * n_words)
-    return np.asarray(out)
+    return b2.hash_u32_batch(words, byte_len=4 * n_words)
 
 
 class Blake2sMerkleChannel:

@@ -1,8 +1,11 @@
 """Merkle commitment prover over mixed-size base-field columns.
 
-Layer hashing runs batched on device (ops/blake2s); the query-dependent
-decommit witness assembly is a host-side peekable merge over sorted indices
-(reference vcs/prover.ts:13-109, mirroring Rust stwo vcs/prover.rs).
+Layer hashing runs batched on device (ops/blake2s) and every layer stays
+device-resident; the query-dependent decommitment logic is host-side but
+touches only the queried indices: the peekable merge is computed on
+indices alone (it does not depend on values), then the few needed hashes
+and column values are fetched with one small device gather per layer.
+(reference vcs/prover.ts:13-109, mirroring Rust stwo vcs/prover.rs.)
 """
 from __future__ import annotations
 
@@ -30,11 +33,12 @@ class MerkleDecommitment:
 
 
 class MerkleProver:
-    """Multi-column Merkle tree (one commitOnLayer per log size, leaves->root)."""
+    """Multi-column Merkle tree (one commitOnLayer per log size,
+    leaves->root).  Layers are device arrays [2^log, 8]."""
 
-    def __init__(self, layers: List[np.ndarray]):
-        # layers[log] has shape [2^log, 8]; layers[0] is the root layer.
+    def __init__(self, layers: List[jnp.ndarray]):
         self.layers = layers
+        self._root: Optional[bytes] = None
 
     @staticmethod
     def commit(columns: Sequence[jnp.ndarray]) -> "MerkleProver":
@@ -42,8 +46,8 @@ class MerkleProver:
         if not cols:
             return MerkleProver([commit_on_layer(0, None, [])])
         max_log = int(cols[0].shape[-1]).bit_length() - 1
-        layers_by_log: List[Optional[np.ndarray]] = [None] * (max_log + 1)
-        prev: Optional[np.ndarray] = None
+        layers_by_log: List[Optional[jnp.ndarray]] = [None] * (max_log + 1)
+        prev: Optional[jnp.ndarray] = None
         for log in range(max_log, -1, -1):
             layer_cols = [c for c in cols if c.shape[-1] == (1 << log)]
             prev = commit_on_layer(log, prev, layer_cols)
@@ -51,48 +55,91 @@ class MerkleProver:
         return MerkleProver(layers_by_log)  # type: ignore[arg-type]
 
     def root(self) -> bytes:
-        return digest_words_to_bytes(self.layers[0][0])
+        if self._root is None:
+            self._root = digest_words_to_bytes(np.asarray(self.layers[0][0]))
+        return self._root
 
     def decommit(
         self,
         queries_per_log_size: Mapping[int, Sequence[int]],
         columns: Sequence[jnp.ndarray],
     ) -> Tuple[List[M31], MerkleDecommitment]:
-        """Witness assembly (reference vcs/prover.ts:32-109)."""
+        """Witness assembly (reference vcs/prover.ts:32-109).
+
+        Phase 1 derives, from query indices alone, which nodes are visited
+        per layer and which child hashes enter the witness; phase 2 gathers
+        exactly those values from device memory; phase 3 emits them in the
+        canonical order.
+        """
         cols_sorted = sorted(columns, key=lambda c: -c.shape[-1])
-        cols_np = [np.asarray(c) for c in cols_sorted]
-        queried: List[M31] = []
-        dec = MerkleDecommitment()
-        col_idx = 0
-        last_layer_queries: List[int] = []
         n_layers = len(self.layers)
+
+        # ---- phase 1: index-only traversal --------------------------------
+        col_idx = 0
+        layer_plans = []  # per layer (big->small): dict
+        last_layer_queries: List[int] = []
         for layer_log in range(n_layers - 1, -1, -1):
-            layer_cols: List[np.ndarray] = []
-            while (col_idx < len(cols_np)
-                   and len(cols_np[col_idx]) == (1 << layer_log)):
-                layer_cols.append(cols_np[col_idx])
+            layer_cols: List[jnp.ndarray] = []
+            while (col_idx < len(cols_sorted)
+                   and cols_sorted[col_idx].shape[-1] == (1 << layer_log)):
+                layer_cols.append(cols_sorted[col_idx])
                 col_idx += 1
-            child_hashes = (self.layers[layer_log + 1]
-                            if layer_log + 1 < n_layers else None)
-            layer_total: List[int] = []
+            has_children = layer_log + 1 < n_layers
+            plan = {
+                "log": layer_log,
+                "cols": layer_cols,
+                "steps": [],  # (node, [child hash idxs], queried: bool)
+                "hash_idxs": [],
+                "node_idxs": [],
+            }
             prev_q = Peekable(last_layer_queries)
             direct_q = Peekable(list(queries_per_log_size.get(layer_log, [])))
+            layer_total: List[int] = []
             while True:
                 node = next_decommitment_node(prev_q, direct_q)
                 if node is None:
                     break
-                if child_hashes is not None:
+                witness_children = []
+                if has_children:
                     if not prev_q.next_if_eq(2 * node):
-                        dec.hash_witness.append(
-                            digest_words_to_bytes(child_hashes[2 * node]))
+                        witness_children.append(2 * node)
                     if not prev_q.next_if_eq(2 * node + 1):
-                        dec.hash_witness.append(
-                            digest_words_to_bytes(child_hashes[2 * node + 1]))
-                node_values = [M31(int(c[node])) for c in layer_cols]
-                if direct_q.next_if_eq(node):
+                        witness_children.append(2 * node + 1)
+                queried = direct_q.next_if_eq(node)
+                plan["steps"].append((node, witness_children, queried))
+                plan["hash_idxs"].extend(witness_children)
+                plan["node_idxs"].append(node)
+                layer_total.append(node)
+            last_layer_queries = layer_total
+            layer_plans.append(plan)
+
+        # ---- phase 2: batched device gathers ------------------------------
+        for plan in layer_plans:
+            log = plan["log"]
+            if plan["hash_idxs"]:
+                child = self.layers[log + 1]
+                idx = jnp.asarray(np.array(plan["hash_idxs"], dtype=np.int64))
+                plan["hashes"] = np.asarray(jnp.take(child, idx, axis=0))
+            if plan["node_idxs"] and plan["cols"]:
+                idx = jnp.asarray(np.array(plan["node_idxs"], dtype=np.int64))
+                plan["values"] = [
+                    np.asarray(jnp.take(c, idx, axis=-1)) for c in plan["cols"]]
+
+        # ---- phase 3: canonical-order assembly ----------------------------
+        queried: List[M31] = []
+        dec = MerkleDecommitment()
+        for plan in layer_plans:
+            hi = 0
+            for si, (node, witness_children, was_queried) in enumerate(
+                    plan["steps"]):
+                for _ in witness_children:
+                    dec.hash_witness.append(
+                        digest_words_to_bytes(plan["hashes"][hi]))
+                    hi += 1
+                node_values = [M31(int(vals[si])) for vals in
+                               plan.get("values", [])]
+                if was_queried:
                     queried.extend(node_values)
                 else:
                     dec.column_witness.extend(node_values)
-                layer_total.append(node)
-            last_layer_queries = layer_total
         return queried, dec
