@@ -111,3 +111,50 @@ def test_fri_larger_last_layer():
     vpos = verifier.sample_query_positions(vch)
     evals = [query_evals_for_column(ev, vpos[ev.domain.log_size()])]
     verifier.decommit(evals)
+
+
+def test_fri_invalid_num_layers_rejected():
+    # proof for log 6 verified against wrong bounds -> InvalidNumFriLayers
+    config = FriConfig(1, 1, 2)
+    ev, _ = make_secure_eval(6, config.log_blowup_factor, seed=11)
+    tree = precompute_twiddles(ev.domain.half_coset)
+    ch = Blake2sChannel()
+    prover = FriProver.commit(ch, config, [ev], tree)
+    proof, _ = prover.decommit(ch)
+    vch = Blake2sChannel()
+    with pytest.raises((FriVerificationError, ValueError)):
+        FriVerifier.commit(vch, config, proof, [CirclePolyDegreeBound(4)])
+
+
+def test_fri_last_layer_degree_rejected():
+    config = FriConfig(1, 1, 2)
+    ev, _ = make_secure_eval(5, config.log_blowup_factor, seed=12)
+    tree = precompute_twiddles(ev.domain.half_coset)
+    ch = Blake2sChannel()
+    prover = FriProver.commit(ch, config, [ev], tree)
+    proof, _ = prover.decommit(ch)
+    # inflate the last layer polynomial beyond the bound
+    from tstwo_tpu.fields import QM31
+    from tstwo_tpu.poly.line import LinePoly
+
+    big = LinePoly(tuple([QM31.one()] * 4))
+    proof.last_layer_poly = big
+    vch = Blake2sChannel()
+    with pytest.raises(FriVerificationError, match="degree"):
+        FriVerifier.commit(vch, config, proof, [CirclePolyDegreeBound(5)])
+
+
+def test_fri_tampered_commitment_rejected():
+    config = FriConfig(1, 1, 2)
+    ev, _ = make_secure_eval(5, config.log_blowup_factor, seed=13)
+    tree = precompute_twiddles(ev.domain.half_coset)
+    ch = Blake2sChannel()
+    prover = FriProver.commit(ch, config, [ev], tree)
+    proof, _ = prover.decommit(ch)
+    proof.inner_layers[0].commitment = b"\x01" * 32
+    vch = Blake2sChannel()
+    verifier = FriVerifier.commit(vch, config, proof, [CirclePolyDegreeBound(5)])
+    vpos = verifier.sample_query_positions(vch)
+    evals = [query_evals_for_column(ev, vpos[ev.domain.log_size()])]
+    with pytest.raises(FriVerificationError):
+        verifier.decommit(evals)
