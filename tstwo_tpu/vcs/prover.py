@@ -32,6 +32,27 @@ class MerkleDecommitment:
         return 32 * len(self.hash_witness) + 4 * len(self.column_witness)
 
 
+from functools import partial
+
+import jax
+
+
+@partial(jax.jit, static_argnames=("max_log",))
+def _commit_all_layers(max_log: int, cols: tuple):
+    """Whole Merkle tree in ONE device dispatch: every layer hash chained
+    inside a single jitted computation (sizes are static per layer, so the
+    loop unrolls; each layer is one batched Blake2s sweep)."""
+    from .blake2s_merkle import commit_on_layer as _col
+
+    layers = []
+    prev = None
+    for log in range(max_log, -1, -1):
+        layer_cols = [c for c in cols if c.shape[-1] == (1 << log)]
+        prev = _col(log, prev, layer_cols)
+        layers.append(prev)
+    return tuple(reversed(layers))  # index i == log-size i
+
+
 class MerkleProver:
     """Multi-column Merkle tree (one commitOnLayer per log size,
     leaves->root).  Layers are device arrays [2^log, 8]."""
@@ -46,13 +67,8 @@ class MerkleProver:
         if not cols:
             return MerkleProver([commit_on_layer(0, None, [])])
         max_log = int(cols[0].shape[-1]).bit_length() - 1
-        layers_by_log: List[Optional[jnp.ndarray]] = [None] * (max_log + 1)
-        prev: Optional[jnp.ndarray] = None
-        for log in range(max_log, -1, -1):
-            layer_cols = [c for c in cols if c.shape[-1] == (1 << log)]
-            prev = commit_on_layer(log, prev, layer_cols)
-            layers_by_log[log] = prev
-        return MerkleProver(layers_by_log)  # type: ignore[arg-type]
+        layers = _commit_all_layers(max_log, tuple(cols))
+        return MerkleProver(list(layers))  # index == log size
 
     def root(self) -> bytes:
         if self._root is None:
