@@ -43,3 +43,20 @@ def test_proof_size_estimate_positive():
     bd = proof.size_breakdown_estimate()
     assert all(v >= 0 for v in bd.values())
     assert sum(bd.values()) > 0
+
+
+def test_invalid_oods_structure_detected():
+    from tstwo_tpu.prover import InvalidOodsSampleStructure
+
+    proof, component, config = prove_basic_air(log_num_rows=4)
+    # drop a composition column -> invalid structure
+    del proof.sampled_values[-1][0]
+    with pytest.raises(Exception):
+        verify_basic_air(proof, component, config, log_num_rows=4)
+
+
+def test_verify_rejects_tampered_commitment():
+    proof, component, config = prove_basic_air(log_num_rows=4)
+    proof.commitment_scheme_proof.commitments[1] = b"\x07" * 32
+    with pytest.raises(Exception):
+        verify_basic_air(proof, component, config, log_num_rows=4)
