@@ -136,15 +136,20 @@ def _offset_perm(trace_log: int, eval_log: int, offset: int) -> jnp.ndarray:
 
 
 class DomainEvaluator:
-    """Whole-domain constraint evaluation on device columns."""
+    """Whole-domain constraint evaluation on device columns.
 
-    def __init__(self, trace_evals: TreeVec, trace_domain_log_size: int,
+    random_coeff_powers: uint32[n_constraints, 4] (reversed order, so
+    constraint 0 gets the highest power) -- a traced array, letting the
+    whole evaluation jit once and re-run with fresh channel randomness.
+    """
+
+    def __init__(self, trace_evals, trace_domain_log_size: int,
                  eval_domain_log_size: int,
-                 random_coeff_powers: List[QM31]):
+                 random_coeff_powers):
         self.trace_evals = trace_evals  # per interaction: list of u32[n] arrays
         self.trace_domain_log_size = trace_domain_log_size
         self.eval_domain_log_size = eval_domain_log_size
-        self.random_coeff_powers = random_coeff_powers  # reversed order
+        self.random_coeff_powers = random_coeff_powers
         self.col_index = [0] * len(trace_evals)
         self.constraint_index = 0
         n = 1 << eval_domain_log_size
@@ -169,11 +174,12 @@ class DomainEvaluator:
         return out
 
     def add_constraint(self, constraint) -> None:
-        coeff = self.random_coeff_powers[self.constraint_index]
+        coeff = self.random_coeff_powers[self.constraint_index]  # [4]
         self.constraint_index += 1
         if isinstance(constraint, BaseExpr):
             constraint = SecureExpr(qm31_ops.from_m31(constraint.arr))
-        self.row_res = self.row_res + (constraint * coeff)
+        self.row_res = SecureExpr(qm31_ops.add(
+            self.row_res.arr, qm31_ops.mul(constraint.arr, coeff[:, None])))
 
     @staticmethod
     def combine_ef(values: Sequence[BaseExpr]) -> SecureExpr:
@@ -252,6 +258,7 @@ class FrameworkComponent:
         self.info = info
         self.trace_locations = allocator.next_for_structure(info.mask_offsets)
         self._preprocessed_indices: List[int] = []
+        self._domain_kernel = None
 
     # -- Component ----------------------------------------------------------
     def n_constraints(self) -> int:
@@ -304,19 +311,38 @@ class FrameworkComponent:
     def evaluate_constraint_quotients_on_domain(
             self, trace: Trace,
             accumulator: DomainEvaluationAccumulator) -> None:
+        import jax
+
         eval_log = self.max_constraint_log_degree_bound()
         trace_log = self.eval.log_size()
         eval_domain = CanonicCoset.new(eval_log).circle_domain()
         component_polys = self._sub_tree(trace.polys)
-        trace_evals = TreeVec(
-            [poly.evaluate(eval_domain, accumulator.twiddles).values
-             for poly in tree]
-            for tree in component_polys)
+        # batch-evaluate every column of an interaction in one CFFT sweep
+        from ..poly.circle_poly import evaluate_values
+
+        trace_evals = []
+        for tree in component_polys:
+            if not tree:
+                trace_evals.append([])
+                continue
+            stacked = jnp.stack([p.coeffs for p in tree])
+            ext = evaluate_values(stacked, eval_domain, accumulator.twiddles)
+            trace_evals.append([ext[i] for i in range(ext.shape[0])])
         (accum,) = accumulator.columns([(eval_log, self.n_constraints())])
-        powers = list(reversed(accum.random_coeff_powers))
-        ev = DomainEvaluator(trace_evals, trace_log, eval_log, powers)
-        self.eval.evaluate(ev)
+        powers = np.array(
+            [q.to_ints() for q in reversed(accum.random_coeff_powers)],
+            dtype=np.uint32)
         denom_inv = jnp.asarray(
             coset_vanishing_denominator_inverses_bitrev(trace_log, eval_log))
-        result = m31_ops.mul(ev.row_res.arr, denom_inv[None, :])
+
+        if self._domain_kernel is None:
+            def kernel(tree_arrays, powers_arr, dinv):
+                ev = DomainEvaluator(tree_arrays, trace_log, eval_log,
+                                     powers_arr)
+                self.eval.evaluate(ev)
+                return m31_ops.mul(ev.row_res.arr, dinv[None, :])
+
+            self._domain_kernel = jax.jit(kernel)
+        result = self._domain_kernel(trace_evals, jnp.asarray(powers),
+                                     denom_inv)
         accum.accumulate_column(result)

@@ -7,7 +7,7 @@ file contains no implementation.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -62,12 +62,21 @@ class CommitmentTreeProver:
         from ..circle import CanonicCoset
 
         self.polynomials = polynomials
-        self.evaluations: List[CircleEvaluation] = []
+        self.evaluations: List[CircleEvaluation] = [None] * len(polynomials)
         with span("extension"):
-            for poly in polynomials:
+            # batch all same-size polynomials into one CFFT sweep
+            from ..poly.circle_poly import evaluate_values
+
+            groups: Dict[int, List[int]] = {}
+            for i, poly in enumerate(polynomials):
+                groups.setdefault(poly.log_size(), []).append(i)
+            for log_size, idxs in groups.items():
                 domain = CanonicCoset.new(
-                    poly.log_size() + log_blowup_factor).circle_domain()
-                self.evaluations.append(poly.evaluate(domain, twiddles))
+                    log_size + log_blowup_factor).circle_domain()
+                stacked = jnp.stack([polynomials[i].coeffs for i in idxs])
+                ext = evaluate_values(stacked, domain, twiddles)
+                for k, i in enumerate(idxs):
+                    self.evaluations[i] = CircleEvaluation(domain, ext[k])
         with span("merkle"):
             self.commitment = MerkleProver.commit(
                 [ev.values for ev in self.evaluations])
@@ -90,7 +99,19 @@ class TreeBuilder:
         return TreeSubspan(self.tree_index, start, len(self.polys))
 
     def extend_evals(self, columns: Sequence[CircleEvaluation]) -> TreeSubspan:
-        polys = [col.interpolate(self._scheme.twiddles) for col in columns]
+        from ..poly.circle_poly import interpolate_values
+
+        columns = list(columns)
+        polys: List[Optional[CirclePoly]] = [None] * len(columns)
+        groups: Dict[int, List[int]] = {}
+        for i, col in enumerate(columns):
+            groups.setdefault(col.domain.log_size(), []).append(i)
+        for log_size, idxs in groups.items():
+            domain = columns[idxs[0]].domain
+            stacked = jnp.stack([columns[i].values for i in idxs])
+            coeffs = interpolate_values(stacked, domain, self._scheme.twiddles)
+            for k, i in enumerate(idxs):
+                polys[i] = CirclePoly(coeffs[k])
         return self.extend_polys(polys)
 
     def commit(self, channel) -> None:

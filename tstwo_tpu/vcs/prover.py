@@ -130,6 +130,8 @@ class MerkleProver:
             layer_plans.append(plan)
 
         # ---- phase 2: batched device gathers ------------------------------
+        # one gather for the child hashes, one for ALL columns of the layer
+        # (stacked), per layer -- a handful of device round trips total
         for plan in layer_plans:
             log = plan["log"]
             if plan["hash_idxs"]:
@@ -138,8 +140,10 @@ class MerkleProver:
                 plan["hashes"] = np.asarray(jnp.take(child, idx, axis=0))
             if plan["node_idxs"] and plan["cols"]:
                 idx = jnp.asarray(np.array(plan["node_idxs"], dtype=np.int64))
-                plan["values"] = [
-                    np.asarray(jnp.take(c, idx, axis=-1)) for c in plan["cols"]]
+                stacked = (plan["cols"][0][None, :] if len(plan["cols"]) == 1
+                           else jnp.stack(plan["cols"]))
+                gathered = np.asarray(jnp.take(stacked, idx, axis=-1))
+                plan["values"] = [gathered[k] for k in range(gathered.shape[0])]
 
         # ---- phase 3: canonical-order assembly ----------------------------
         queried: List[M31] = []
