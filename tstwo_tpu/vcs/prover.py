@@ -131,18 +131,24 @@ class MerkleProver:
 
         # ---- phase 2: batched device gathers ------------------------------
         # one gather for the child hashes, one for ALL columns of the layer
-        # (stacked), per layer -- a handful of device round trips total
+        # (stacked), per layer; all takes are dispatched asynchronously
+        # before any host materialization so the device queue pipelines
         for plan in layer_plans:
             log = plan["log"]
             if plan["hash_idxs"]:
                 child = self.layers[log + 1]
                 idx = jnp.asarray(np.array(plan["hash_idxs"], dtype=np.int64))
-                plan["hashes"] = np.asarray(jnp.take(child, idx, axis=0))
+                plan["_hashes_dev"] = jnp.take(child, idx, axis=0)
             if plan["node_idxs"] and plan["cols"]:
                 idx = jnp.asarray(np.array(plan["node_idxs"], dtype=np.int64))
                 stacked = (plan["cols"][0][None, :] if len(plan["cols"]) == 1
                            else jnp.stack(plan["cols"]))
-                gathered = np.asarray(jnp.take(stacked, idx, axis=-1))
+                plan["_values_dev"] = jnp.take(stacked, idx, axis=-1)
+        for plan in layer_plans:
+            if "_hashes_dev" in plan:
+                plan["hashes"] = np.asarray(plan.pop("_hashes_dev"))
+            if "_values_dev" in plan:
+                gathered = np.asarray(plan.pop("_values_dev"))
                 plan["values"] = [gathered[k] for k in range(gathered.shape[0])]
 
         # ---- phase 3: canonical-order assembly ----------------------------
