@@ -109,3 +109,18 @@ def test_sharded_fold_and_merkle_match():
     ref_h = commit_on_layer(6, None, cols)
     out_h = sharded_merkle_leaf_layer(mesh, cols, 6)
     np.testing.assert_array_equal(np.asarray(out_h), np.asarray(ref_h))
+
+
+def test_sharded_full_merkle_commit_matches():
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    from tstwo_tpu.parallel.ops import shard_points
+    from tstwo_tpu.vcs import MerkleProver
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(5)
+    cols = [m31_ops.asarray(rng.integers(0, (1 << 31) - 1, size=1 << 10,
+                                         dtype=np.uint32)) for _ in range(3)]
+    ref = MerkleProver.commit(cols)
+    sharded = MerkleProver.commit([shard_points(mesh, c) for c in cols])
+    assert ref.root() == sharded.root()
