@@ -104,9 +104,9 @@ def bench_cfft_roundtrip(log_n=20):
     @jax.jit
     def roundtrip(v):
         ev = fft_ops.fft_natural_to_bitrev(v, line, circ)
-        ev = fft_ops.bit_reverse(ev, log_n)
-        ev = fft_ops.bit_reverse(ev, log_n)
-        back = fft_ops.ifft_bitrev_to_natural(ev, line_i, circ_i)
+        nat = fft_ops.bit_reverse(ev, log_n)      # natural-order view
+        ev2 = fft_ops.bit_reverse(nat, log_n)     # back to bit-reversed
+        back = fft_ops.ifft_bitrev_to_natural(ev2, line_i, circ_i)
         return m31.mul(back, n_inv)
 
     dt = _timeit(lambda: roundtrip(vals), 10)

@@ -41,10 +41,12 @@ def bit_reverse(values: jnp.ndarray, log_size: int) -> jnp.ndarray:
     pa = jnp.asarray(bit_reverse_permutation(a))
     pb = jnp.asarray(bit_reverse_permutation(b))
     lead = values.shape[:-1]
+    # both gathers run on the second-to-last (row) axis around one
+    # transpose -- row-granular data movement only, no lane gathers
     v = values.reshape(*lead, 1 << a, 1 << b)
     v = jnp.take(v, pa, axis=-2)
-    v = jnp.take(v, pb, axis=-1)
     v = jnp.swapaxes(v, -1, -2)
+    v = jnp.take(v, pb, axis=-2)
     return v.reshape(*lead, n)
 
 
