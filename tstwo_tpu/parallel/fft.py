@@ -11,6 +11,9 @@ Twiddles: high-layer arrays (size < D) replicated; low-layer arrays sharded
 on the point axis (each device's slice is exactly its butterfly block).
 Output is the standard bit-reversed evaluation order, sharded on the
 bit-reversed index axis.
+
+Columns support leading batch axes (replicated): pass leading_dims > 0 and
+arrays shaped [..., N]; the transform runs on the last axis of every row.
 """
 from __future__ import annotations
 
@@ -27,30 +30,33 @@ from ..ops.fft import _butterfly_layer
 
 def _axis_butterfly(x: jnp.ndarray, layer: int, twiddles: jnp.ndarray,
                     inverse: bool) -> jnp.ndarray:
-    """Butterfly along axis 0 of a [D, M_loc] block (the shard axis brought
-    local by the transpose)."""
-    d, m_loc = x.shape
+    """Butterfly along the second-to-last axis of a [..., D, M_loc] block
+    (the shard axis brought local by the transpose)."""
+    *lead, d, m_loc = x.shape
     stride = 1 << layer
-    v = x.reshape(d // (2 * stride), 2, stride, m_loc)
+    v = x.reshape(*lead, d // (2 * stride), 2, stride, m_loc)
     t = twiddles[:, None, None]
-    v0 = v[:, 0]
-    v1 = v[:, 1]
+    v0 = v[..., 0, :, :]
+    v1 = v[..., 1, :, :]
     if not inverse:
         prod = m31.mul(v1, t)
-        out = jnp.stack([m31.add(v0, prod), m31.sub(v0, prod)], axis=1)
+        out = jnp.stack([m31.add(v0, prod), m31.sub(v0, prod)], axis=-3)
     else:
-        out = jnp.stack([m31.add(v0, v1), m31.mul(m31.sub(v0, v1), t)], axis=1)
-    return out.reshape(d, m_loc)
+        out = jnp.stack([m31.add(v0, v1), m31.mul(m31.sub(v0, v1), t)],
+                        axis=-3)
+    return out.reshape(*lead, d, m_loc)
 
 
 def make_sharded_fft(mesh: Mesh, log_n: int, line_twiddles: Sequence,
                      circle_twiddles, inverse: bool = False,
-                     axis_name: str = "chips"):
+                     axis_name: str = "chips", leading_dims: int = 0,
+                     jit: bool = True):
     """Build a jitted sharded (i)CFFT for size 2^log_n over `mesh`.
 
     Returns fn(values_sharded) -> values_sharded.  Forward maps natural
     coefficients -> bit-reversed evaluations; inverse maps back (including
-    the 1/N scale).
+    the 1/N scale).  `leading_dims` replicated batch axes may precede the
+    point axis.
     """
     d = mesh.devices.size
     k = d.bit_length() - 1
@@ -59,23 +65,27 @@ def make_sharded_fft(mesh: Mesh, log_n: int, line_twiddles: Sequence,
     n = 1 << log_n
     m = n // d
     m_log = log_n - k
-    if m_log < 1:
-        raise ValueError("local size must be >= 2")
+    if m_log < max(1, k):
+        raise ValueError(
+            f"local size 2^{m_log} must be >= mesh size {d} for the "
+            f"all-to-all transpose (need log_n >= 2*log2(devices))")
     # split twiddles: line layer l uses line_twiddles[l-1] (size n >> (l+1))
     high_tws = [line_twiddles[l - 1] for l in range(log_n - 1, m_log - 1, -1)]
     low_tws = [line_twiddles[l - 1] for l in range(1, m_log)]
     n_inv = jnp.asarray(
         jnp.uint32(pow(n, (1 << 31) - 3, (1 << 31) - 1)))
+    tr_axis = leading_dims  # position of the shard axis after the reshape
 
     def local_fn(x, circle_tw_loc, *low_tws_loc):
+        lead = x.shape[:-1]
         if not inverse:
-            x = x.reshape(d, m // d)
-            x = jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
+            x = x.reshape(*lead, d, m // d)
+            x = jax.lax.all_to_all(x, axis_name, tr_axis, tr_axis, tiled=True)
             for i, t in enumerate(high_tws):
                 layer = (log_n - 1 - i) - m_log
                 x = _axis_butterfly(x, layer, t, inverse=False)
-            x = jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
-            x = x.reshape(m)
+            x = jax.lax.all_to_all(x, axis_name, tr_axis, tr_axis, tiled=True)
+            x = x.reshape(*lead, m)
             for l in range(m_log - 1, 0, -1):
                 x = _butterfly_layer(x, l, low_tws_loc[l - 1], inverse=False)
             x = _butterfly_layer(x, 0, circle_tw_loc, inverse=False)
@@ -86,26 +96,28 @@ def make_sharded_fft(mesh: Mesh, log_n: int, line_twiddles: Sequence,
             x = _butterfly_layer(x, 0, circle_tw_loc, inverse=True)
             for l in range(1, m_log):
                 x = _butterfly_layer(x, l, low_tws_loc[l - 1], inverse=True)
-            x = x.reshape(d, m // d)
-            x = jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
+            x = x.reshape(*lead, d, m // d)
+            x = jax.lax.all_to_all(x, axis_name, tr_axis, tr_axis, tiled=True)
             for i, t in enumerate(reversed(high_tws)):
                 x = _axis_butterfly(x, i, t, inverse=True)
-            x = jax.lax.all_to_all(x, axis_name, 0, 0, tiled=True)
-            x = x.reshape(m)
+            x = jax.lax.all_to_all(x, axis_name, tr_axis, tr_axis, tiled=True)
+            x = x.reshape(*lead, m)
             return m31.mul(x, n_inv)
 
-    col_spec = P(axis_name)
+    col_spec = P(*([None] * leading_dims), axis_name)
+    tw_spec = P(axis_name)
     shard_fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(col_spec, col_spec) + tuple(col_spec for _ in low_tws),
+        in_specs=(col_spec, tw_spec) + tuple(tw_spec for _ in low_tws),
         out_specs=col_spec,
     )
 
     def run(values):
         return shard_fn(values, circle_twiddles, *low_tws)
 
-    return jax.jit(run)
+    return jax.jit(run) if jit else run
 
 
 def shard_column(values, mesh: Mesh, axis_name: str = "chips"):
-    return jax.device_put(values, NamedSharding(mesh, P(axis_name)))
+    spec = [None] * (values.ndim - 1) + [axis_name]
+    return jax.device_put(values, NamedSharding(mesh, P(*spec)))

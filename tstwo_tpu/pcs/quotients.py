@@ -185,15 +185,14 @@ def _accumulate_quotients_kernel(columns, xs, ys, prx, pry, pix, piy,
     return row_acc
 
 
-def accumulate_quotients(domain: CircleDomain,
-                         columns: Sequence[jnp.ndarray],
-                         random_coeff: QM31,
-                         sample_batches: Sequence[ColumnSampleBatch],
-                         log_blowup_factor: int) -> SecureEvaluation:
-    """Device quotient accumulation (reference backend/cpu/quotients.ts:52-75)."""
+def pack_quotient_inputs(sample_batches: Sequence[ColumnSampleBatch],
+                         random_coeff: QM31):
+    """Host-side packing of the static quotient-kernel operands.
+
+    Returns the tuple of jnp constant arrays consumed by
+    `_accumulate_quotients_kernel` after (columns, xs, ys).
+    """
     consts = quotient_constants(sample_batches, random_coeff)
-    xs, ys = domain_points_bitrev(domain)
-    cols = jnp.stack([jnp.asarray(c) for c in columns])
     n_batches = len(sample_batches)
     max_cols = max(len(b.columns_and_values) for b in sample_batches)
 
@@ -222,10 +221,21 @@ def accumulate_quotients(domain: CircleDomain,
             line_b[b, j] = qm(bb)
             line_c[b, j] = qm(c)
             idx_mask[b, j] = col_idx
-    values = _accumulate_quotients_kernel(
-        cols, xs, ys, jnp.asarray(prx), jnp.asarray(pry), jnp.asarray(pix),
-        jnp.asarray(piy), jnp.asarray(line_a), jnp.asarray(line_b),
-        jnp.asarray(line_c), jnp.asarray(bcoef), jnp.asarray(idx_mask))
+    return (jnp.asarray(prx), jnp.asarray(pry), jnp.asarray(pix),
+            jnp.asarray(piy), jnp.asarray(line_a), jnp.asarray(line_b),
+            jnp.asarray(line_c), jnp.asarray(bcoef), jnp.asarray(idx_mask))
+
+
+def accumulate_quotients(domain: CircleDomain,
+                         columns: Sequence[jnp.ndarray],
+                         random_coeff: QM31,
+                         sample_batches: Sequence[ColumnSampleBatch],
+                         log_blowup_factor: int) -> SecureEvaluation:
+    """Device quotient accumulation (reference backend/cpu/quotients.ts:52-75)."""
+    xs, ys = domain_points_bitrev(domain)
+    cols = jnp.stack([jnp.asarray(c) for c in columns])
+    packed = pack_quotient_inputs(sample_batches, random_coeff)
+    values = _accumulate_quotients_kernel(cols, xs, ys, *packed)
     return SecureEvaluation(domain, values)
 
 
