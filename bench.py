@@ -172,6 +172,7 @@ def bench_prove():
     from tstwo_tpu.examples.basic_air import (prove_basic_air,
                                               verify_basic_air)
 
+    prove_basic_air(log_num_rows=4)  # warm (trace + compile cache)
     t0 = time.perf_counter()
     proof, component, config = prove_basic_air(log_num_rows=4)
     prove_s = time.perf_counter() - t0

@@ -240,6 +240,19 @@ class FrameworkEval:
     def evaluate(self, evaluator):
         raise NotImplementedError
 
+    def kernel_cache_key(self):
+        """Optional: return a hashable key identifying this eval's traced
+        constraint structure (everything `evaluate` bakes into the graph
+        besides array shapes).  Evals returning a non-None key share one
+        jitted domain kernel across component instances, so repeated proves
+        skip re-tracing.  Default None = per-instance kernel only."""
+        return None
+
+
+# jitted domain kernels shared across component instances whose evals opt in
+# via kernel_cache_key() (re-tracing a constraint graph costs seconds)
+_DOMAIN_KERNEL_CACHE: dict = {}
+
 
 class FrameworkComponent:
     """Component + ComponentProver from a FrameworkEval
@@ -336,13 +349,20 @@ class FrameworkComponent:
             coset_vanishing_denominator_inverses_bitrev(trace_log, eval_log))
 
         if self._domain_kernel is None:
-            def kernel(tree_arrays, powers_arr, dinv):
-                ev = DomainEvaluator(tree_arrays, trace_log, eval_log,
-                                     powers_arr)
-                self.eval.evaluate(ev)
-                return m31_ops.mul(ev.row_res.arr, dinv[None, :])
+            cache_key = self.eval.kernel_cache_key()
+            if cache_key is not None:
+                cache_key = (type(self.eval), cache_key, trace_log, eval_log)
+                self._domain_kernel = _DOMAIN_KERNEL_CACHE.get(cache_key)
+            if self._domain_kernel is None:
+                def kernel(tree_arrays, powers_arr, dinv):
+                    ev = DomainEvaluator(tree_arrays, trace_log, eval_log,
+                                         powers_arr)
+                    self.eval.evaluate(ev)
+                    return m31_ops.mul(ev.row_res.arr, dinv[None, :])
 
-            self._domain_kernel = jax.jit(kernel)
+                self._domain_kernel = jax.jit(kernel)
+                if cache_key is not None:
+                    _DOMAIN_KERNEL_CACHE[cache_key] = self._domain_kernel
         result = self._domain_kernel(trace_evals, jnp.asarray(powers),
                                      denom_inv)
         accum.accumulate_column(result)

@@ -161,12 +161,14 @@ class InsufficientWitnessError(Exception):
 
 
 def compute_decommitment_positions_and_witness_evals(
-    values, query_positions: Sequence[int], fold_step: int
+    values, query_positions: Sequence[int], fold_step: int, batch=None
 ) -> Tuple[List[int], List[QM31]]:
     """reference fri.ts:346-384.  values: uint32[4, n] (device or numpy).
 
     Only the query-adjacent positions are fetched from the device (one
-    small gather), never the whole column.
+    small gather), never the whole column.  With `batch` (utils.FetchBatch)
+    the gather is deferred and the second return value is a thunk yielding
+    the witness evals after batch.materialize().
     """
     decommitment_positions: List[int] = []
     witness_positions: List[int] = []
@@ -189,10 +191,19 @@ def compute_decommitment_positions_and_witness_evals(
             witness_positions.append(pos)
     if witness_positions:
         idx = jnp.asarray(np.array(witness_positions, dtype=np.int64))
-        vals = np.asarray(jnp.take(jnp.asarray(values), idx, axis=-1))
-        witness_evals = [QM31.from_ints(vals[:, k].tolist())
-                         for k in range(vals.shape[1])]
+        gathered = jnp.take(jnp.asarray(values), idx, axis=-1)
+
+        def _build(vals):
+            return [QM31.from_ints(vals[:, k].tolist())
+                    for k in range(vals.shape[1])]
+
+        if batch is not None:
+            handle = batch.defer(gathered)
+            return decommitment_positions, lambda: _build(handle.get())
+        witness_evals = _build(np.asarray(gathered))
     else:
+        if batch is not None:
+            return decommitment_positions, lambda: []
         witness_evals = []
     return decommitment_positions, witness_evals
 
@@ -253,19 +264,35 @@ class FriFirstLayerProver:
         return max(self.column_log_sizes())
 
     def decommit(self, queries: Queries) -> FriLayerProof:
-        fri_witness: List[QM31] = []
+        from .utils import FetchBatch
+
+        batch = FetchBatch()
+        finish = self.decommit_deferred(queries, batch)
+        batch.materialize()
+        return finish()
+
+    def decommit_deferred(self, queries: Queries, batch):
+        witness_thunks = []
         positions_by_log: Dict[int, List[int]] = {}
         for se in self.columns:
             log = se.domain.log_size()
             column_queries = queries.fold(queries.log_domain_size - log)
-            positions, witness = compute_decommitment_positions_and_witness_evals(
+            positions, thunk = compute_decommitment_positions_and_witness_evals(
                 se.values, column_queries.positions,
-                CIRCLE_TO_LINE_FOLD_STEP)
+                CIRCLE_TO_LINE_FOLD_STEP, batch)
             positions_by_log[log] = positions
-            fri_witness.extend(witness)
+            witness_thunks.append(thunk)
         coord_cols = [c for se in self.columns for c in se.columns()]
-        _, decommitment = self.merkle_tree.decommit(positions_by_log, coord_cols)
-        return FriLayerProof(fri_witness, decommitment, self.merkle_tree.root())
+        merkle_fin = self.merkle_tree.decommit_deferred(
+            positions_by_log, coord_cols, batch)
+        root = self.merkle_tree.root()
+
+        def finish() -> FriLayerProof:
+            fri_witness = [w for t in witness_thunks for w in t()]
+            _, decommitment = merkle_fin()
+            return FriLayerProof(fri_witness, decommitment, root)
+
+        return finish
 
 
 class FriInnerLayerProver:
@@ -277,12 +304,28 @@ class FriInnerLayerProver:
         self.merkle_tree = MerkleProver.commit(cols)
 
     def decommit(self, queries: Queries) -> FriLayerProof:
-        positions, fri_witness = compute_decommitment_positions_and_witness_evals(
-            self.evaluation.values, list(queries.positions), FOLD_STEP)
+        from .utils import FetchBatch
+
+        batch = FetchBatch()
+        finish = self.decommit_deferred(queries, batch)
+        batch.materialize()
+        return finish()
+
+    def decommit_deferred(self, queries: Queries, batch):
+        positions, thunk = compute_decommitment_positions_and_witness_evals(
+            self.evaluation.values, list(queries.positions), FOLD_STEP, batch)
         log = self.evaluation.domain.log_size()
         cols = [self.evaluation.values[i] for i in range(4)]
-        _, decommitment = self.merkle_tree.decommit({log: positions}, cols)
-        return FriLayerProof(fri_witness, decommitment, self.merkle_tree.root())
+        merkle_fin = self.merkle_tree.decommit_deferred({log: positions},
+                                                        cols, batch)
+        root = self.merkle_tree.root()
+
+        def finish() -> FriLayerProof:
+            fri_witness = thunk()
+            _, decommitment = merkle_fin()
+            return FriLayerProof(fri_witness, decommitment, root)
+
+        return finish
 
 
 class FriProver:
@@ -363,20 +406,49 @@ class FriProver:
         return poly
 
     def decommit(self, channel) -> Tuple[FriProof, Dict[int, List[int]]]:
+        from .utils import FetchBatch
+
+        finish, positions = self.decommit_deferred(channel, FetchBatch(),
+                                                   materialize=True)
+        return finish(), positions
+
+    def decommit_deferred(self, channel, batch, materialize: bool = False):
+        """Plan every layer's gathers into `batch`; finish() assembles the
+        FriProof after the batch is materialized (one transfer for the whole
+        FRI decommitment — and, sharing the caller's batch, for the Merkle
+        tree decommitments too)."""
         max_log = self.first_layer.max_column_log_size()
         queries = Queries.generate(channel, max_log, self.config.n_queries)
         positions = get_query_positions_by_log_size(
             queries, set(self.first_layer.column_log_sizes()))
-        return self.decommit_on_queries(queries), positions
-
-    def decommit_on_queries(self, queries: Queries) -> FriProof:
-        first_layer_proof = self.first_layer.decommit(queries)
-        inner_proofs = []
+        first_fin = self.first_layer.decommit_deferred(queries, batch)
+        inner_fins = []
         layer_queries = queries.fold(CIRCLE_TO_LINE_FOLD_STEP)
         for layer in self.inner_layers:
-            inner_proofs.append(layer.decommit(layer_queries))
+            inner_fins.append(layer.decommit_deferred(layer_queries, batch))
             layer_queries = layer_queries.fold(FOLD_STEP)
-        return FriProof(first_layer_proof, inner_proofs, self.last_layer_poly)
+
+        def finish() -> FriProof:
+            if materialize:
+                batch.materialize()
+            return FriProof(first_fin(), [f() for f in inner_fins],
+                            self.last_layer_poly)
+
+        return finish, positions
+
+    def decommit_on_queries(self, queries: Queries) -> FriProof:
+        from .utils import FetchBatch
+
+        batch = FetchBatch()
+        first_fin = self.first_layer.decommit_deferred(queries, batch)
+        inner_fins = []
+        layer_queries = queries.fold(CIRCLE_TO_LINE_FOLD_STEP)
+        for layer in self.inner_layers:
+            inner_fins.append(layer.decommit_deferred(layer_queries, batch))
+            layer_queries = layer_queries.fold(FOLD_STEP)
+        batch.materialize()
+        return FriProof(first_fin(), [f() for f in inner_fins],
+                        self.last_layer_poly)
 
 
 # ---------------------------------------------------------------------------

@@ -86,6 +86,10 @@ class CommitmentTreeProver:
         return self.commitment.decommit(
             queries, [ev.values for ev in self.evaluations])
 
+    def decommit_deferred(self, queries: Dict[int, List[int]], batch):
+        return self.commitment.decommit_deferred(
+            queries, [ev.values for ev in self.evaluations], batch)
+
 
 class TreeBuilder:
     def __init__(self, scheme: "CommitmentSchemeProver", tree_index: int):
@@ -197,14 +201,24 @@ class CommitmentSchemeProver:
             proof_of_work = grind(channel, self.config.pow_bits)
         channel.mix_u64(proof_of_work)
 
-        # 5. FRI decommitment + Merkle decommitments.
+        # 5. FRI decommitment + Merkle decommitments: every layer's and every
+        # tree's witness gathers are planned host-side, dispatched async, and
+        # pulled with ONE device->host transfer.
+        from ..utils import FetchBatch
+
         with span("decommitment"):
-            fri_proof, query_positions_per_log_size = fri_prover.decommit(
-                channel)
+            batch = FetchBatch()
+            fri_finish, query_positions_per_log_size = (
+                fri_prover.decommit_deferred(channel, batch))
+            tree_fins = [
+                tree.decommit_deferred(query_positions_per_log_size, batch)
+                for tree in self.trees]
+            batch.materialize()
+            fri_proof = fri_finish()
             queried_values = TreeVec()
             decommitments = TreeVec()
-            for tree in self.trees:
-                values, dec = tree.decommit(query_positions_per_log_size)
+            for fin in tree_fins:
+                values, dec = fin()
                 queried_values.append(values)
                 decommitments.append(dec)
 

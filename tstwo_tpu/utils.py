@@ -68,3 +68,52 @@ def circle_domain_index_to_coset_index(circle_index: int, log_domain_size: int) 
     if circle_index < n // 2:
         return circle_index * 2
     return (n - 1 - circle_index) * 2 + 1
+
+
+class FetchBatch:
+    """Defer device->host transfers and materialize them in ONE fetch.
+
+    The TPU tunnel charges a full round trip per *blocking* transfer, so N
+    small decommit gathers cost N RTTs when fetched one by one.  Deferring
+    them, concatenating the flattened uint32 buffers on device, and pulling
+    the result with a single transfer costs one RTT regardless of N.
+    """
+
+    def __init__(self):
+        self._pending = []
+        self._values = None
+
+    def defer(self, arr):
+        """Register a device uint32 array; returns a handle whose .get()
+        yields the numpy value after materialize()."""
+        if self._values is not None:
+            raise RuntimeError("FetchBatch already materialized")
+        idx = len(self._pending)
+        self._pending.append(arr)
+        batch = self
+
+        class _Handle:
+            def get(self):
+                if batch._values is None:
+                    raise RuntimeError("materialize() not called")
+                return batch._values[idx]
+
+        return _Handle()
+
+    def materialize(self) -> None:
+        import jax.numpy as jnp
+
+        if self._values is not None:
+            return
+        if not self._pending:
+            self._values = []
+            return
+        flats = [jnp.ravel(a).astype(jnp.uint32) for a in self._pending]
+        host = np.asarray(jnp.concatenate(flats) if len(flats) > 1
+                          else flats[0])
+        out, off = [], 0
+        for a in self._pending:
+            n = int(np.prod(a.shape)) if a.ndim else 1
+            out.append(host[off:off + n].reshape(a.shape))
+            off += n
+        self._values = out

@@ -80,12 +80,26 @@ class MerkleProver:
         queries_per_log_size: Mapping[int, Sequence[int]],
         columns: Sequence[jnp.ndarray],
     ) -> Tuple[List[M31], MerkleDecommitment]:
+        from ..utils import FetchBatch
+
+        batch = FetchBatch()
+        finish = self.decommit_deferred(queries_per_log_size, columns, batch)
+        batch.materialize()
+        return finish()
+
+    def decommit_deferred(
+        self,
+        queries_per_log_size: Mapping[int, Sequence[int]],
+        columns: Sequence[jnp.ndarray],
+        batch,
+    ):
         """Witness assembly (reference vcs/prover.ts:32-109).
 
         Phase 1 derives, from query indices alone, which nodes are visited
-        per layer and which child hashes enter the witness; phase 2 gathers
-        exactly those values from device memory; phase 3 emits them in the
-        canonical order.
+        per layer and which child hashes enter the witness; phase 2 defers
+        exactly those gathers into `batch` (a utils.FetchBatch); the
+        returned finish() emits them in canonical order once the batch is
+        materialized — so any number of tree decommits share ONE transfer.
         """
         cols_sorted = sorted(columns, key=lambda c: -c.shape[-1])
         n_layers = len(self.layers)
@@ -129,43 +143,45 @@ class MerkleProver:
             last_layer_queries = layer_total
             layer_plans.append(plan)
 
-        # ---- phase 2: batched device gathers ------------------------------
+        # ---- phase 2: deferred batched device gathers ----------------------
         # one gather for the child hashes, one for ALL columns of the layer
-        # (stacked), per layer; all takes are dispatched asynchronously
-        # before any host materialization so the device queue pipelines
+        # (stacked), per layer; every gather lands in the shared FetchBatch
         for plan in layer_plans:
             log = plan["log"]
             if plan["hash_idxs"]:
                 child = self.layers[log + 1]
                 idx = jnp.asarray(np.array(plan["hash_idxs"], dtype=np.int64))
-                plan["_hashes_dev"] = jnp.take(child, idx, axis=0)
+                plan["_hashes_h"] = batch.defer(jnp.take(child, idx, axis=0))
             if plan["node_idxs"] and plan["cols"]:
                 idx = jnp.asarray(np.array(plan["node_idxs"], dtype=np.int64))
                 stacked = (plan["cols"][0][None, :] if len(plan["cols"]) == 1
                            else jnp.stack(plan["cols"]))
-                plan["_values_dev"] = jnp.take(stacked, idx, axis=-1)
-        for plan in layer_plans:
-            if "_hashes_dev" in plan:
-                plan["hashes"] = np.asarray(plan.pop("_hashes_dev"))
-            if "_values_dev" in plan:
-                gathered = np.asarray(plan.pop("_values_dev"))
-                plan["values"] = [gathered[k] for k in range(gathered.shape[0])]
+                plan["_values_h"] = batch.defer(jnp.take(stacked, idx,
+                                                         axis=-1))
 
-        # ---- phase 3: canonical-order assembly ----------------------------
-        queried: List[M31] = []
-        dec = MerkleDecommitment()
-        for plan in layer_plans:
-            hi = 0
-            for si, (node, witness_children, was_queried) in enumerate(
-                    plan["steps"]):
-                for _ in witness_children:
-                    dec.hash_witness.append(
-                        digest_words_to_bytes(plan["hashes"][hi]))
-                    hi += 1
-                node_values = [M31(int(vals[si])) for vals in
-                               plan.get("values", [])]
-                if was_queried:
-                    queried.extend(node_values)
-                else:
-                    dec.column_witness.extend(node_values)
-        return queried, dec
+        # ---- phase 3: canonical-order assembly (after materialize) --------
+        def finish() -> Tuple[List[M31], MerkleDecommitment]:
+            queried: List[M31] = []
+            dec = MerkleDecommitment()
+            for plan in layer_plans:
+                hashes = (plan["_hashes_h"].get()
+                          if "_hashes_h" in plan else None)
+                gathered = (plan["_values_h"].get()
+                            if "_values_h" in plan else None)
+                values = ([gathered[k] for k in range(gathered.shape[0])]
+                          if gathered is not None else [])
+                hi = 0
+                for si, (node, witness_children, was_queried) in enumerate(
+                        plan["steps"]):
+                    for _ in witness_children:
+                        dec.hash_witness.append(
+                            digest_words_to_bytes(hashes[hi]))
+                        hi += 1
+                    node_values = [M31(int(vals[si])) for vals in values]
+                    if was_queried:
+                        queried.extend(node_values)
+                    else:
+                        dec.column_witness.extend(node_values)
+            return queried, dec
+
+        return finish
