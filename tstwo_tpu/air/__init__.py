@@ -11,6 +11,7 @@ from ..pcs.utils import TreeVec
 
 PREPROCESSED_TRACE_IDX = 0
 ORIGINAL_TRACE_IDX = 1
+INTERACTION_TRACE_IDX = 2
 
 
 @dataclass

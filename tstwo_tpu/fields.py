@@ -277,9 +277,13 @@ class QM31:
         return res
 
     def __add__(self, o: "QM31") -> "QM31":
+        if not isinstance(o, QM31):
+            return NotImplemented
         return QM31(self.c0 + o.c0, self.c1 + o.c1)
 
     def __sub__(self, o: "QM31") -> "QM31":
+        if not isinstance(o, QM31):
+            return NotImplemented
         return QM31(self.c0 - o.c0, self.c1 - o.c1)
 
     def __neg__(self) -> "QM31":
@@ -287,6 +291,8 @@ class QM31:
 
     def __mul__(self, o: "QM31") -> "QM31":
         # (a+bu)(c+du) = (ac + R bd) + (ad + bc)u   (reference qm31.ts:300-305)
+        if not isinstance(o, QM31):
+            return NotImplemented  # defer to the other operand's __rmul__
         return QM31(
             self.c0 * o.c0 + _R * self.c1 * o.c1,
             self.c0 * o.c1 + self.c1 * o.c0,
