@@ -157,6 +157,19 @@ def test_logup_lookup_rejects_tampered_proof():
     verify_logup_lookup(proof, config, LOG, claimed)  # restored -> accepts
 
 
+def test_logup_domain_kernel_shared_across_proofs():
+    """Fresh channel randomness (z, alpha) must not force a re-trace: the
+    randomness is a traced kernel argument via the secure_param hook."""
+    from tstwo_tpu.constraint_framework import _DOMAIN_KERNEL_CACHE
+    proof1, config1, claimed1 = prove_logup_lookup(log_size=LOG, seed=1)
+    snapshot = dict(_DOMAIN_KERNEL_CACHE)
+    proof2, config2, claimed2 = prove_logup_lookup(log_size=LOG, seed=2)
+    assert set(_DOMAIN_KERNEL_CACHE) == set(snapshot)  # no new kernel traced
+    assert all(_DOMAIN_KERNEL_CACHE[k] is v for k, v in snapshot.items())
+    verify_logup_lookup(proof1, config1, LOG, claimed1)
+    verify_logup_lookup(proof2, config2, LOG, claimed2)
+
+
 def test_logup_lookup_prove_rejects_unsound_trace():
     # multiplicities that don't match the values: prove() must fail its
     # OODS sanity check (constraints not satisfied) when forced through

@@ -101,9 +101,17 @@ class _LogupEvalMixin:
             return QM31.from_base(m)
         return m
 
+    def secure_param(self, value: QM31):
+        """Register a per-proof secure-field scalar (channel-drawn
+        randomness such as lookup elements).  On the domain path the value
+        becomes a traced kernel argument instead of a baked-in constant, so
+        the jitted constraint kernel is reusable across proofs; elsewhere
+        the host value is returned as-is."""
+        return value
+
     def add_to_relation(self, *entries: RelationEntry) -> None:
         for e in entries:
-            den = e.relation.combine(list(e.values))
+            den = e.relation.bind(self).combine(list(e.values))
             self.write_logup_frac(
                 Fraction(self._coerce_multiplicity(e.multiplicity), den))
 
@@ -180,7 +188,12 @@ class InfoEvaluator(_LogupEvalMixin):
         self.mask_offsets = TreeVec()
         self.n_constraints = 0
         self.preprocessed_columns: List[PreProcessedColumnId] = []
+        self.secure_params: List[QM31] = []
         self._init_logup(None, 0)  # structure only; shift is absorbed
+
+    def secure_param(self, value: QM31) -> QM31:
+        self.secure_params.append(value)
+        return value
 
     def get_preprocessed_column(self, cid: PreProcessedColumnId):
         self.preprocessed_columns.append(cid)
@@ -282,7 +295,7 @@ class DomainEvaluator(_LogupEvalMixin):
 
     def __init__(self, trace_evals, trace_domain_log_size: int,
                  eval_domain_log_size: int,
-                 random_coeff_powers, cumsum_shift=None):
+                 random_coeff_powers, cumsum_shift=None, secure_params=None):
         self.trace_evals = trace_evals  # per interaction: list of u32[n] arrays
         self.trace_domain_log_size = trace_domain_log_size
         self.eval_domain_log_size = eval_domain_log_size
@@ -294,6 +307,13 @@ class DomainEvaluator(_LogupEvalMixin):
         self.logup = LogupAtRow.dummy()
         if cumsum_shift is not None:
             self.logup.cumsum_shift = SecureExpr(cumsum_shift[:, None])
+        self._secure_params = secure_params  # traced uint32[k, 4]
+        self._param_index = 0
+
+    def secure_param(self, value: QM31) -> SecureExpr:
+        i = self._param_index
+        self._param_index += 1
+        return SecureExpr(self._secure_params[i][:, None])
 
     def get_preprocessed_column(self, cid: PreProcessedColumnId) -> BaseExpr:
         return self.next_interaction_mask(PREPROCESSED_TRACE_IDX, [0])[0]
@@ -426,6 +446,9 @@ class FrameworkComponent:
         self._preprocessed_indices: List[int] = [
             allocator.preprocessed_index(cid)
             for cid in info.preprocessed_columns]
+        # per-proof channel randomness captured at construction; fed to the
+        # (cacheable) domain kernel as a traced argument
+        self._secure_params: List[QM31] = list(info.secure_params)
         self._domain_kernel = None
 
     # -- Component ----------------------------------------------------------
@@ -516,6 +539,9 @@ class FrameworkComponent:
         cumsum_shift = self.claimed_sum.mul_m31(
             M31.from_int(1 << trace_log).inverse())
         shift_arr = np.array(cumsum_shift.to_ints(), dtype=np.uint32)
+        params_arr = np.array(
+            [q.to_ints() for q in self._secure_params],
+            dtype=np.uint32).reshape(-1, 4)
 
         if self._domain_kernel is None:
             cache_key = self.eval.kernel_cache_key()
@@ -523,9 +549,9 @@ class FrameworkComponent:
                 cache_key = (type(self.eval), cache_key, trace_log, eval_log)
                 self._domain_kernel = _DOMAIN_KERNEL_CACHE.get(cache_key)
             if self._domain_kernel is None:
-                def kernel(tree_arrays, powers_arr, dinv, shift):
+                def kernel(tree_arrays, powers_arr, dinv, shift, params):
                     ev = DomainEvaluator(tree_arrays, trace_log, eval_log,
-                                         powers_arr, shift)
+                                         powers_arr, shift, params)
                     self.eval.evaluate(ev)
                     if not ev.logup.is_finalized:
                         raise ValueError(
@@ -536,5 +562,6 @@ class FrameworkComponent:
                 if cache_key is not None:
                     _DOMAIN_KERNEL_CACHE[cache_key] = self._domain_kernel
         result = self._domain_kernel(trace_evals, jnp.asarray(powers),
-                                     denom_inv, jnp.asarray(shift_arr))
+                                     denom_inv, jnp.asarray(shift_arr),
+                                     jnp.asarray(params_arr))
         accum.accumulate_column(result)

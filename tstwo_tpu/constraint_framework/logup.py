@@ -78,6 +78,15 @@ class LookupElements:
             acc = term if acc is None else acc + term
         return acc - self.z
 
+    def bind(self, evaluator) -> "_BoundRelation":
+        """Materialize (z, alpha_powers) through the evaluator's
+        `secure_param` hook: host values on the point/assert paths, traced
+        kernel arguments on the domain path (keeps the jitted constraint
+        kernel reusable across proofs with fresh channel randomness)."""
+        return _BoundRelation(
+            [evaluator.secure_param(p) for p in self.alpha_powers],
+            evaluator.secure_param(self.z))
+
     def combine_cols(self, cols: Sequence[jnp.ndarray]) -> jnp.ndarray:
         """Device-column combine for interaction-trace generation: cols are
         uint32[n] base columns or uint32[4, n] secure columns; returns the
@@ -97,6 +106,23 @@ class LookupElements:
         return (isinstance(o, LookupElements) and o.z == self.z
                 and o.alpha == self.alpha
                 and len(o.alpha_powers) == len(self.alpha_powers))
+
+
+class _BoundRelation:
+    """LookupElements view with evaluator-materialized randomness."""
+
+    def __init__(self, alpha_powers, z):
+        self.alpha_powers = alpha_powers
+        self.z = z
+
+    def combine(self, values: Sequence):
+        if len(values) > len(self.alpha_powers):
+            raise ValueError("combining more values than relation size")
+        acc = None
+        for v, power in zip(values, self.alpha_powers):
+            term = v * power
+            acc = term if acc is None else acc + term
+        return acc - self.z
 
 
 @dataclass

@@ -41,8 +41,9 @@ RELATION_SIZE = 1
 
 class LookupEval(FrameworkEval):
     """val is in the Seq table; mult counts how often each table row is
-    used.  No kernel cache: the drawn (z, alpha) are baked into the traced
-    constraint graph and change per proof."""
+    used.  The drawn (z, alpha) randomness flows through the evaluators'
+    `secure_param` hook, so the jitted domain kernel is cacheable across
+    proofs with fresh channel draws."""
 
     def __init__(self, log_n_rows: int, lookup_elements: LookupElements,
                  pairs: bool = True):
@@ -55,6 +56,10 @@ class LookupEval(FrameworkEval):
 
     def max_constraint_log_degree_bound(self) -> int:
         return self.log_n_rows + 1
+
+    def kernel_cache_key(self):
+        return (self.log_n_rows, self.pairs,
+                len(self.lookup_elements.alpha_powers))
 
     def evaluate(self, ev):
         seq = ev.get_preprocessed_column(Seq(self.log_n_rows).id())
