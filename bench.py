@@ -16,6 +16,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import jax
+
+# Persistent compilation cache: the fused prove/FRI programs take minutes of
+# XLA compile on first build; cache them across bench runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np
 
 BASELINE_M31_MUL_OPS = 8_373_829.24  # reference bench/results.json

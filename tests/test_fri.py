@@ -158,3 +158,40 @@ def test_fri_tampered_commitment_rejected():
     evals = [query_evals_for_column(ev, vpos[ev.domain.log_size()])]
     with pytest.raises(FriVerificationError):
         verifier.decommit(evals)
+
+
+def test_fused_commit_matches_host_commit():
+    """The device-transcript commit must be bit-identical to the host-channel
+    commit: same roots, alphas (via identical channel state), witnesses,
+    last-layer poly, and final channel state."""
+    config = FriConfig(1, 1, 3)
+    ev1, _ = make_secure_eval(7, config.log_blowup_factor, seed=11)
+    ev2, _ = make_secure_eval(5, config.log_blowup_factor, seed=12)
+    tree = precompute_twiddles(ev1.domain.half_coset)
+
+    ch_f = Blake2sChannel()
+    prover_f = FriProver.commit(ch_f, config, [ev1, ev2], tree)
+    ch_h = Blake2sChannel()
+    prover_h = FriProver.commit_host(ch_h, config, [ev1, ev2], tree)
+
+    assert ch_f.digest == ch_h.digest
+    assert ch_f.channel_time.n_challenges == ch_h.channel_time.n_challenges
+    assert ch_f.channel_time.n_sent == ch_h.channel_time.n_sent
+    assert prover_f.last_layer_poly.coeffs == prover_h.last_layer_poly.coeffs
+    assert (prover_f.first_layer.merkle_tree.root()
+            == prover_h.first_layer.merkle_tree.root())
+    assert len(prover_f.inner_layers) == len(prover_h.inner_layers)
+    for lf, lh in zip(prover_f.inner_layers, prover_h.inner_layers):
+        assert lf.merkle_tree.root() == lh.merkle_tree.root()
+        assert np.array_equal(np.asarray(lf.evaluation.values),
+                              np.asarray(lh.evaluation.values))
+
+    proof_f, pos_f = prover_f.decommit(ch_f)
+    proof_h, pos_h = prover_h.decommit(ch_h)
+    assert pos_f == pos_h
+    assert proof_f.first_layer.fri_witness == proof_h.first_layer.fri_witness
+    assert (proof_f.first_layer.decommitment.hash_witness
+            == proof_h.first_layer.decommitment.hash_witness)
+    for a, b in zip(proof_f.inner_layers, proof_h.inner_layers):
+        assert a.fri_witness == b.fri_witness
+        assert a.commitment == b.commitment

@@ -1,0 +1,104 @@
+"""Interpret-mode parity tests for the Pallas kernels.
+
+Every kernel is checked against its jnp twin (ops/m31.py, ops/fft.py) in
+Pallas interpreter mode, so the kernel *logic* is verified on CPU; the
+bench exercises the compiled kernels on TPU and picks the faster path
+(see PERF.md).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tstwo_tpu.ops import fft as fft_ops
+from tstwo_tpu.ops import m31 as m31_ops
+from tstwo_tpu.ops.pallas import fft_kernels, m31_kernels
+
+P = (1 << 31) - 1
+
+
+@pytest.mark.parametrize("log_n", [10, 12, 14])
+def test_pallas_mul_matches_jnp(log_n):
+    rng = np.random.default_rng(log_n)
+    a = rng.integers(0, P, size=1 << log_n, dtype=np.uint32)
+    b = rng.integers(0, P, size=1 << log_n, dtype=np.uint32)
+    got = np.asarray(m31_kernels.mul(jnp.asarray(a), jnp.asarray(b),
+                                     interpret=True))
+    want = np.asarray(m31_ops.mul(jnp.asarray(a), jnp.asarray(b)))
+    assert np.array_equal(got, want)
+
+
+def test_pallas_mul_edge_values():
+    edge = np.array([0, 1, 2, P - 1, P - 2, 1 << 16, (1 << 16) - 1,
+                     (1 << 30) + 12345], dtype=np.uint32)
+    a = np.tile(edge, 1024 // len(edge) * 8)[: 1024]
+    b = a[::-1].copy()
+    got = np.asarray(m31_kernels.mul(jnp.asarray(a), jnp.asarray(b),
+                                     interpret=True))
+    want = (a.astype(np.uint64) * b.astype(np.uint64) % P).astype(np.uint32)
+    assert np.array_equal(got, want)
+
+
+def test_pallas_mul_chain_matches_host():
+    rng = np.random.default_rng(7)
+    n = 1 << 12
+    a = rng.integers(0, P, size=n, dtype=np.uint32)
+    b = rng.integers(0, P, size=n, dtype=np.uint32)
+    got = np.asarray(m31_kernels.mul_chain(jnp.asarray(a), jnp.asarray(b),
+                                           reps=5, interpret=True))
+    want = a.astype(np.uint64)
+    for _ in range(5):
+        want = want * b % P
+    assert np.array_equal(got, want.astype(np.uint32))
+
+
+def _twiddles_for(log_n):
+    from tstwo_tpu.circle import CanonicCoset
+    from tstwo_tpu.poly.twiddles import (circle_layer_twiddles,
+                                         domain_line_twiddles,
+                                         precompute_twiddles)
+
+    domain = CanonicCoset.new(log_n).circle_domain()
+    tree = precompute_twiddles(domain.half_coset)
+    line = domain_line_twiddles(log_n, tree)
+    circ = circle_layer_twiddles(line[0])
+    line_i = domain_line_twiddles(log_n, tree, inverse=True)
+    circ_i = circle_layer_twiddles(line_i[0])
+    return line, circ, line_i, circ_i
+
+
+@pytest.mark.parametrize("log_n", [9, 10, 12])
+def test_pallas_fft_fused_matches_jnp(log_n):
+    line, circ, _, _ = _twiddles_for(log_n)
+    rng = np.random.default_rng(log_n + 100)
+    vals = jnp.asarray(rng.integers(0, P, size=1 << log_n, dtype=np.uint32))
+    got = np.asarray(fft_kernels.fft_fused(vals, tuple(line), circ, log_n,
+                                           interpret=True))
+    want = np.asarray(fft_ops.fft_natural_to_bitrev(vals, line, circ))
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("log_n", [9, 11])
+def test_pallas_ifft_fused_matches_jnp(log_n):
+    _, _, line_i, circ_i = _twiddles_for(log_n)
+    rng = np.random.default_rng(log_n + 200)
+    vals = jnp.asarray(rng.integers(0, P, size=1 << log_n, dtype=np.uint32))
+    got = np.asarray(fft_kernels.fft_fused(vals, tuple(line_i), circ_i,
+                                           log_n, inverse=True,
+                                           interpret=True))
+    # fft_fused's inverse includes the 1/N scaling; the jnp twin does not.
+    n_inv = jnp.uint32(pow(1 << log_n, P - 2, P))
+    want = np.asarray(m31_ops.mul(
+        fft_ops.ifft_bitrev_to_natural(vals, line_i, circ_i), n_inv))
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("log_n", [9, 11])
+def test_pallas_fft_roundtrip(log_n):
+    line, circ, line_i, circ_i = _twiddles_for(log_n)
+    rng = np.random.default_rng(log_n + 300)
+    vals = jnp.asarray(rng.integers(0, P, size=1 << log_n, dtype=np.uint32))
+    ev = fft_kernels.fft_fused(vals, tuple(line), circ, log_n, interpret=True)
+    back = fft_kernels.fft_fused(ev, tuple(line_i), circ_i, log_n,
+                                 inverse=True, interpret=True)
+    assert np.array_equal(np.asarray(back), np.asarray(vals))

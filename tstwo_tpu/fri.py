@@ -10,11 +10,14 @@ used throughout).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .channel import device as device_channel
 from .circle import CanonicCoset, CircleDomain, Coset
 from .fields import M31, QM31, SECURE_EXTENSION_DEGREE
 from .ops import fri_ops
@@ -252,10 +255,13 @@ def compute_decommitment_positions_and_rebuild_evals(
 class FriFirstLayerProver:
     """Commits the raw quotient columns (all coordinate columns in one tree)."""
 
-    def __init__(self, columns: List[SecureEvaluation]):
+    def __init__(self, columns: List[SecureEvaluation],
+                 merkle_tree: Optional[MerkleProver] = None):
         self.columns = columns
-        coord_cols = [c for se in columns for c in se.columns()]
-        self.merkle_tree = MerkleProver.commit(coord_cols)
+        if merkle_tree is None:
+            coord_cols = [c for se in columns for c in se.columns()]
+            merkle_tree = MerkleProver.commit(coord_cols)
+        self.merkle_tree = merkle_tree
 
     def column_log_sizes(self) -> List[int]:
         return [se.domain.log_size() for se in self.columns]
@@ -285,12 +291,12 @@ class FriFirstLayerProver:
         coord_cols = [c for se in self.columns for c in se.columns()]
         merkle_fin = self.merkle_tree.decommit_deferred(
             positions_by_log, coord_cols, batch)
-        root = self.merkle_tree.root()
+        root_fin = self.merkle_tree.root_deferred(batch)
 
         def finish() -> FriLayerProof:
             fri_witness = [w for t in witness_thunks for w in t()]
             _, decommitment = merkle_fin()
-            return FriLayerProof(fri_witness, decommitment, root)
+            return FriLayerProof(fri_witness, decommitment, root_fin())
 
         return finish
 
@@ -298,10 +304,13 @@ class FriFirstLayerProver:
 class FriInnerLayerProver:
     """One committed line-evaluation layer."""
 
-    def __init__(self, evaluation: LineEvaluation):
+    def __init__(self, evaluation: LineEvaluation,
+                 merkle_tree: Optional[MerkleProver] = None):
         self.evaluation = evaluation
-        cols = [evaluation.values[i] for i in range(4)]
-        self.merkle_tree = MerkleProver.commit(cols)
+        if merkle_tree is None:
+            cols = [evaluation.values[i] for i in range(4)]
+            merkle_tree = MerkleProver.commit(cols)
+        self.merkle_tree = merkle_tree
 
     def decommit(self, queries: Queries) -> FriLayerProof:
         from .utils import FetchBatch
@@ -318,14 +327,61 @@ class FriInnerLayerProver:
         cols = [self.evaluation.values[i] for i in range(4)]
         merkle_fin = self.merkle_tree.decommit_deferred({log: positions},
                                                         cols, batch)
-        root = self.merkle_tree.root()
+        root_fin = self.merkle_tree.root_deferred(batch)
 
         def finish() -> FriLayerProof:
             fri_witness = thunk()
             _, decommitment = merkle_fin()
-            return FriLayerProof(fri_witness, decommitment, root)
+            return FriLayerProof(fri_witness, decommitment, root_fin())
 
         return finish
+
+
+@partial(jax.jit, static_argnames=("last_size",))
+def _fused_fri_commit(digest, n_sent, columns, y_itws, itws, last_size: int):
+    """The whole FRI commit phase as one traced device computation.
+
+    columns: tuple of u32[4, n_i] quotient evaluations (sizes strictly
+    decreasing); y_itws: per-column 1/y twiddles; itws: inverse line-twiddle
+    layers in fold order.  Returns every Merkle tree's layers (device
+    resident, index == log size), each committed line evaluation (for
+    decommitment witnesses), the last-layer evaluation, and the final
+    transcript state.
+    """
+    from .vcs.prover import _commit_all_layers
+
+    def merkle(cols):
+        max_log = int(cols[0].shape[-1]).bit_length() - 1
+        return _commit_all_layers(max_log, tuple(cols))
+
+    coord_cols = [c[i] for c in columns for i in range(4)]
+    coord_cols.sort(key=lambda c: -c.shape[-1])
+    first_tree = merkle(coord_cols)
+    digest, n_sent = device_channel.mix_root(digest, first_tree[0][0])
+    n_sent, alpha = device_channel.draw_felt(digest, n_sent)
+
+    layer_vals = fri_ops.fold_circle_into_line(
+        jnp.zeros((4, columns[0].shape[-1] // 2), dtype=jnp.uint32),
+        columns[0], y_itws[0], alpha)
+    ci = 1
+    itw_i = 0
+    inner_trees = []
+    inner_vals = []
+    while layer_vals.shape[-1] > last_size:
+        tree = merkle([layer_vals[i] for i in range(4)])
+        inner_trees.append(tree)
+        inner_vals.append(layer_vals)
+        digest, n_sent = device_channel.mix_root(digest, tree[0][0])
+        n_sent, alpha = device_channel.draw_felt(digest, n_sent)
+        layer_vals = fri_ops.fold_line(layer_vals, itws[itw_i], alpha)
+        itw_i += 1
+        if (ci < len(columns)
+                and columns[ci].shape[-1] // 2 == layer_vals.shape[-1]):
+            layer_vals = fri_ops.fold_circle_into_line(
+                layer_vals, columns[ci], y_itws[ci], alpha)
+            ci += 1
+    return (first_tree, tuple(inner_trees), tuple(inner_vals), layer_vals,
+            digest, n_sent)
 
 
 class FriProver:
@@ -338,7 +394,62 @@ class FriProver:
     @staticmethod
     def commit(channel, config: FriConfig, columns: List[SecureEvaluation],
                twiddles: TwiddleTree) -> "FriProver":
-        """reference fri.ts:644-674 structure, with real commitments."""
+        """FRI commitment with a device-resident Fiat-Shamir transcript.
+
+        The whole commit chain -- first-layer Merkle, per-layer mix_root /
+        draw_felt / fold -- is Fiat-Shamir-sequenced, so a host-side channel
+        forces ~2 blocking transfers per layer (~45 ms/layer over a tunneled
+        TPU, measured to dominate the 2^22 commit).  Here the transcript runs
+        on device (channel/device.py) and the entire loop traces into ONE jit
+        dispatch; the host channel is re-synced with a single fetch at the
+        end.  Bit-exact with commit_host (reference fri.ts:644-674 structure
+        with the mocked roots/alphas replaced by real ones).
+        """
+        FriProver._validate_columns(columns)
+        sizes = [se.domain.size() for se in columns]
+        last_size = config.last_layer_domain_size()
+
+        # Host-side simulation of the (static) fold schedule to collect the
+        # inverse line-twiddle layers in use order.
+        itws: List[jnp.ndarray] = []
+        cur = sizes[0] // 2
+        ci = 1
+        n_inner = 0
+        while cur > last_size:
+            n_inner += 1
+            itws.append(twiddles.layer_of_size(cur // 2, inverse=True))
+            cur //= 2
+            if ci < len(sizes) and sizes[ci] // 2 == cur:
+                ci += 1
+
+        y_itws = tuple(fri_ops.domain_y_itwiddles(se.domain) for se in columns)
+        digest, n_sent = device_channel.state_from_channel(channel)
+        (first_tree, inner_trees, inner_vals, last_vals, digest, n_sent) = (
+            _fused_fri_commit(digest, n_sent,
+                              tuple(se.values for se in columns),
+                              y_itws, tuple(itws), last_size))
+
+        # One transfer: final transcript state + (tiny) last-layer values.
+        dw, ns, last_host = jax.device_get((digest, n_sent, last_vals))
+        device_channel.sync_host_channel(channel, dw, int(ns),
+                                         n_mixes=1 + n_inner)
+
+        first_layer = FriFirstLayerProver(
+            list(columns), MerkleProver(list(first_tree)))
+        first_log = (sizes[0] // 2).bit_length() - 1
+        domain = LineDomain.new(Coset.half_odds(first_log))
+        inner_layers = []
+        for tree_layers, vals in zip(inner_trees, inner_vals):
+            inner_layers.append(FriInnerLayerProver(
+                LineEvaluation(domain, vals), MerkleProver(list(tree_layers))))
+            domain = domain.double()
+        last_eval = LineEvaluation(domain, jnp.asarray(last_host))
+        last_layer_poly = FriProver._commit_last_layer(channel, config,
+                                                       last_eval)
+        return FriProver(config, first_layer, inner_layers, last_layer_poly)
+
+    @staticmethod
+    def _validate_columns(columns: List[SecureEvaluation]) -> None:
         if not columns:
             raise ValueError("no columns")
         if not all(se.domain.is_canonic() for se in columns):
@@ -346,6 +457,14 @@ class FriProver:
         sizes = [se.domain.size() for se in columns]
         if any(sizes[i] <= sizes[i + 1] for i in range(len(sizes) - 1)):
             raise ValueError("column sizes not decreasing")
+
+    @staticmethod
+    def commit_host(channel, config: FriConfig,
+                    columns: List[SecureEvaluation],
+                    twiddles: TwiddleTree) -> "FriProver":
+        """Host-transcript reference path (one dispatch + fetch per layer);
+        kept as the cross-check oracle for the fused commit."""
+        FriProver._validate_columns(columns)
         first_layer = FriFirstLayerProver(columns)
         channel.mix_root(first_layer.merkle_tree.root())
         inner_layers, last_eval = FriProver._commit_inner_layers(

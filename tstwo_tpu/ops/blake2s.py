@@ -64,11 +64,24 @@ def compress(h, m, t, is_final):
     h: uint32[..., 8]; m: uint32[..., 16]; t: byte counter (int);
     is_final: bool.
 
-    Rounds run under lax.fori_loop with the SIGMA schedule as a gathered
-    lookup -- this keeps the XLA graph ~10x smaller than full unrolling
-    (compile time matters: tree commits hash many distinct layer shapes).
+    Two lowering strategies, chosen by static batch size:
+
+      * large batches (>= 2^15 messages, the compute-bound Merkle leaf and
+        lower tree levels): the 10 rounds unroll statically so every
+        message-schedule access is a static slice -- a traced SIGMA lookup
+        would lower to a dynamic LANE gather per word (measured ~5 ms of
+        pure relayout overhead per big layer on TPU);
+      * small batches (the many tiny upper tree levels, where per-kernel
+        overhead dominates): rounds run under lax.fori_loop to keep the
+        traced graph ~10x smaller (a fused FRI commit traces ~250 distinct
+        compress instances; fully unrolled they blow XLA compile time past
+        10 minutes), with message words stacked on the LEADING axis so the
+        SIGMA lookup is a cheap sublane dynamic slice, not a lane gather.
     """
     lead = h.shape[:-1]
+    batch = 1
+    for d in lead:
+        batch *= int(d)
     v = [h[..., i] for i in range(8)] + [
         jnp.broadcast_to(jnp.uint32(IV[i]), lead) for i in range(8)
     ]
@@ -76,12 +89,29 @@ def compress(h, m, t, is_final):
     v[13] = v[13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF)
     if is_final:
         v[14] = v[14] ^ jnp.uint32(0xFFFFFFFF)
+
+    if batch >= (1 << 15):
+        mw = [m[..., i] for i in range(16)]
+        for r in range(10):
+            s = SIGMA[r]
+            _g(v, 0, 4, 8, 12, mw[s[0]], mw[s[1]])
+            _g(v, 1, 5, 9, 13, mw[s[2]], mw[s[3]])
+            _g(v, 2, 6, 10, 14, mw[s[4]], mw[s[5]])
+            _g(v, 3, 7, 11, 15, mw[s[6]], mw[s[7]])
+            _g(v, 0, 5, 10, 15, mw[s[8]], mw[s[9]])
+            _g(v, 1, 6, 11, 12, mw[s[10]], mw[s[11]])
+            _g(v, 2, 7, 8, 13, mw[s[12]], mw[s[13]])
+            _g(v, 3, 4, 9, 14, mw[s[14]], mw[s[15]])
+        out = [h[..., i] ^ v[i] ^ v[i + 8] for i in range(8)]
+        return jnp.stack(out, axis=-1)
+
+    mw = jnp.stack([m[..., i] for i in range(16)])  # [16, *lead]
     sigma = jnp.asarray(_SIGMA_ARR)
 
     def round_body(r, carry):
         v = list(carry)
         s = sigma[r]
-        ms = [jnp.take(m, s[i], axis=-1) for i in range(16)]
+        ms = [mw[s[i]] for i in range(16)]
         _g(v, 0, 4, 8, 12, ms[0], ms[1])
         _g(v, 1, 5, 9, 13, ms[2], ms[3])
         _g(v, 2, 6, 10, 14, ms[4], ms[5])

@@ -37,20 +37,59 @@ from functools import partial
 import jax
 
 
+_SCAN_TOP_LOG = 11  # pure-hash levels at/below this size run under one scan
+
+
+def _scan_levels(top: jnp.ndarray, s: int):
+    """Hash the pure (column-free) levels s-1 .. 0 of a Merkle tree whose
+    level s is `top` (u32[2^s, 8]) with ONE lax.scan.
+
+    Each iteration hashes a fixed-capacity padded buffer (valid prefix
+    halves every step; the padding hashes are garbage and ignored), so the
+    ~log2(N) tiny upper levels cost one traced instance and one fused loop
+    instead of log2(N) separate kernels -- a fused FRI commit otherwise
+    traces ~230 distinct tiny compress graphs (minutes of XLA compile time,
+    ~1 ms of launch overhead each at runtime).
+    """
+    from ..ops.blake2s import hash_u32_batch
+
+    cap = 1 << s
+
+    def body(buf, _):
+        children = buf.reshape(cap // 2, 16)
+        parents = hash_u32_batch(children, byte_len=64)
+        nxt = jnp.concatenate(
+            [parents, jnp.zeros((cap - cap // 2, 8), dtype=jnp.uint32)])
+        return nxt, parents
+
+    _, ys = jax.lax.scan(body, top, None, length=s)
+    return ys  # ys[i] = level s-1-i (valid prefix 2^(s-1-i))
+
+
 @partial(jax.jit, static_argnames=("max_log",))
 def _commit_all_layers(max_log: int, cols: tuple):
     """Whole Merkle tree in ONE device dispatch: every layer hash chained
     inside a single jitted computation (sizes are static per layer, so the
-    loop unrolls; each layer is one batched Blake2s sweep)."""
+    loop unrolls; each large layer is one batched Blake2s sweep, and the
+    small pure-hash top levels collapse into one lax.scan)."""
     from .blake2s_merkle import commit_on_layer as _col
 
-    layers = []
+    layers = {}
     prev = None
-    for log in range(max_log, -1, -1):
+    log = max_log
+    while log >= 0:
         layer_cols = [c for c in cols if c.shape[-1] == (1 << log)]
+        lower_has_cols = any(c.shape[-1] < (1 << log) for c in cols)
+        if (prev is not None and not layer_cols and not lower_has_cols
+                and log + 1 <= _SCAN_TOP_LOG):
+            ys = _scan_levels(prev, log + 1)
+            for j in range(log, -1, -1):
+                layers[j] = ys[log - j][: 1 << j]
+            break
         prev = _col(log, prev, layer_cols)
-        layers.append(prev)
-    return tuple(reversed(layers))  # index i == log-size i
+        layers[log] = prev
+        log -= 1
+    return tuple(layers[i] for i in range(max_log + 1))
 
 
 class MerkleProver:
@@ -74,6 +113,21 @@ class MerkleProver:
         if self._root is None:
             self._root = digest_words_to_bytes(np.asarray(self.layers[0][0]))
         return self._root
+
+    def root_deferred(self, batch):
+        """Fetch the root through a FetchBatch; returns a thunk -> bytes."""
+        if self._root is not None:
+            cached = self._root
+            return lambda: cached
+        handle = batch.defer(self.layers[0][0])
+        tree = self
+
+        def get() -> bytes:
+            if tree._root is None:
+                tree._root = digest_words_to_bytes(np.asarray(handle.get()))
+            return tree._root
+
+        return get
 
     def decommit(
         self,
