@@ -62,9 +62,13 @@ def generate_trace(log_num_rows: int,
     return [jnp.asarray(col1), jnp.asarray(col2), jnp.asarray(col3)]
 
 
-def prove_basic_air(log_num_rows: int = 4,
-                    config: PcsConfig = None) -> Tuple[StarkProof, FrameworkComponent, PcsConfig]:
-    """Full prove flow of rust-examples/05_proving_an_air.rs:52-121."""
+def prove_basic_air(log_num_rows: int = 4, config: PcsConfig = None,
+                    mesh=None) -> Tuple[StarkProof, FrameworkComponent, PcsConfig]:
+    """Full prove flow of rust-examples/05_proving_an_air.rs:52-121.
+
+    With `mesh`, the production pipeline runs point-sharded over the device
+    mesh (bit-identical proof bytes; see CommitmentSchemeProver).
+    """
     config = config or PcsConfig()
     columns = generate_trace(log_num_rows)
     domain = CanonicCoset.new(log_num_rows).circle_domain()
@@ -77,7 +81,7 @@ def prove_basic_air(log_num_rows: int = 4,
         ).circle_domain().half_coset)
 
     channel = Blake2sChannel()
-    commitment_scheme = CommitmentSchemeProver(config, twiddles)
+    commitment_scheme = CommitmentSchemeProver(config, twiddles, mesh=mesh)
 
     # preprocessed trace (empty)
     tree_builder = commitment_scheme.tree_builder()

@@ -70,7 +70,7 @@ def generate_trace(log_n_rows: int, sequence_length: int = FIB_SEQUENCE_LENGTH,
 
 def prove_wide_fibonacci(log_n_rows: int = 6,
                          sequence_length: int = FIB_SEQUENCE_LENGTH,
-                         config: PcsConfig = None,
+                         config: PcsConfig = None, mesh=None,
                          ) -> Tuple[StarkProof, FrameworkComponent, PcsConfig]:
     config = config or PcsConfig()
     columns = generate_trace(log_n_rows, sequence_length)
@@ -80,7 +80,7 @@ def prove_wide_fibonacci(log_n_rows: int = 6,
         CanonicCoset.new(log_n_rows + 1 + config.fri_config.log_blowup_factor)
         .circle_domain().half_coset)
     channel = Blake2sChannel()
-    scheme = CommitmentSchemeProver(config, twiddles)
+    scheme = CommitmentSchemeProver(config, twiddles, mesh=mesh)
     tb = scheme.tree_builder()
     tb.extend_evals([])
     tb.commit(channel)

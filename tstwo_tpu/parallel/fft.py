@@ -121,3 +121,71 @@ def make_sharded_fft(mesh: Mesh, log_n: int, line_twiddles: Sequence,
 def shard_column(values, mesh: Mesh, axis_name: str = "chips"):
     spec = [None] * (values.ndim - 1) + [axis_name]
     return jax.device_put(values, NamedSharding(mesh, P(*spec)))
+
+
+# ---------------------------------------------------------------------------
+# Production-path sharded poly ops (used by CommitmentSchemeProver(mesh=...))
+# ---------------------------------------------------------------------------
+
+_SHARDED_FFT_CACHE: dict = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return (tuple(mesh.axis_names), mesh.devices.shape,
+            tuple(d.id for d in mesh.devices.flat))
+
+
+def _get_sharded_fft(mesh: Mesh, log_n: int, tree, inverse: bool,
+                     leading_dims: int, axis_name: str):
+    from ..poly.twiddles import circle_layer_twiddles, domain_line_twiddles
+
+    key = (_mesh_key(mesh), log_n, inverse, leading_dims, axis_name)
+    fn = _SHARDED_FFT_CACHE.get(key)
+    if fn is None:
+        line = domain_line_twiddles(log_n, tree, inverse=inverse)
+        circ = circle_layer_twiddles(line[0])
+        fn = make_sharded_fft(mesh, log_n, line, circ, inverse=inverse,
+                              axis_name=axis_name, leading_dims=leading_dims)
+        _SHARDED_FFT_CACHE[key] = fn
+    return fn
+
+
+def sharded_fft_applicable(mesh: Mesh, log_n: int) -> bool:
+    d = mesh.devices.size
+    k = d.bit_length() - 1
+    return (1 << k) == d and log_n - k >= max(1, k)
+
+
+def evaluate_values_sharded(coeffs, domain, tree, mesh: Mesh,
+                            axis_name: str = "chips"):
+    """CFFT-evaluate point-sharded coefficient array(s) on `domain` via the
+    explicit all-to-all factorization; falls back to the single-device
+    kernel on sharded inputs (GSPMD partitioning) when the domain is too
+    small for the transpose split.  Bit-identical to
+    poly.circle_poly.evaluate_values (exact integer math; partitioning
+    cannot change results)."""
+    from ..poly.circle_poly import evaluate_values
+
+    log = domain.log_size()
+    n = domain.size()
+    if coeffs.shape[-1] < n:
+        pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, n - coeffs.shape[-1])]
+        coeffs = jnp.pad(coeffs, pad)
+    coeffs = shard_column(coeffs, mesh, axis_name)
+    if not sharded_fft_applicable(mesh, log) or log < 3:
+        return evaluate_values(coeffs, domain, tree)
+    fn = _get_sharded_fft(mesh, log, tree, False, coeffs.ndim - 1, axis_name)
+    return fn(coeffs)
+
+
+def interpolate_values_sharded(values, domain, tree, mesh: Mesh,
+                               axis_name: str = "chips"):
+    """Inverse CFFT (including 1/N) on point-sharded evaluations."""
+    from ..poly.circle_poly import interpolate_values
+
+    log = domain.log_size()
+    values = shard_column(values, mesh, axis_name)
+    if not sharded_fft_applicable(mesh, log) or log < 3:
+        return interpolate_values(values, domain, tree)
+    fn = _get_sharded_fft(mesh, log, tree, True, values.ndim - 1, axis_name)
+    return fn(values)

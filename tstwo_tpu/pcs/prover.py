@@ -55,10 +55,16 @@ class CommitmentSchemeProof:
 
 
 class CommitmentTreeProver:
-    """One committed set of polynomials (reference pcs/prover.ts:209-252)."""
+    """One committed set of polynomials (reference pcs/prover.ts:209-252).
+
+    With `mesh`, the extension CFFT runs via the explicit all-to-all
+    factorization (parallel/fft.py) and the evaluations stay point-sharded,
+    so the Merkle leaf hashing and every downstream kernel (quotients, FRI)
+    are GSPMD-partitioned over the mesh.
+    """
 
     def __init__(self, polynomials: List[CirclePoly], log_blowup_factor: int,
-                 channel, twiddles: TwiddleTree):
+                 channel, twiddles: TwiddleTree, mesh=None):
         from ..circle import CanonicCoset
 
         self.polynomials = polynomials
@@ -74,7 +80,13 @@ class CommitmentTreeProver:
                 domain = CanonicCoset.new(
                     log_size + log_blowup_factor).circle_domain()
                 stacked = jnp.stack([polynomials[i].coeffs for i in idxs])
-                ext = evaluate_values(stacked, domain, twiddles)
+                if mesh is not None:
+                    from ..parallel.fft import evaluate_values_sharded
+
+                    ext = evaluate_values_sharded(stacked, domain, twiddles,
+                                                  mesh)
+                else:
+                    ext = evaluate_values(stacked, domain, twiddles)
                 for k, i in enumerate(idxs):
                     self.evaluations[i] = CircleEvaluation(domain, ext[k])
         with span("merkle"):
@@ -113,7 +125,14 @@ class TreeBuilder:
         for log_size, idxs in groups.items():
             domain = columns[idxs[0]].domain
             stacked = jnp.stack([columns[i].values for i in idxs])
-            coeffs = interpolate_values(stacked, domain, self._scheme.twiddles)
+            if self._scheme.mesh is not None:
+                from ..parallel.fft import interpolate_values_sharded
+
+                coeffs = interpolate_values_sharded(
+                    stacked, domain, self._scheme.twiddles, self._scheme.mesh)
+            else:
+                coeffs = interpolate_values(stacked, domain,
+                                            self._scheme.twiddles)
             for k, i in enumerate(idxs):
                 polys[i] = CirclePoly(coeffs[k])
         return self.extend_polys(polys)
@@ -123,15 +142,22 @@ class TreeBuilder:
 
 
 class CommitmentSchemeProver:
-    def __init__(self, config: PcsConfig, twiddles: TwiddleTree):
+    """With `mesh` (a jax.sharding.Mesh), the whole proving pipeline runs
+    point-sharded: extension CFFTs use the explicit all-to-all split,
+    Merkle/quotient/FRI kernels partition over the sharded columns via
+    GSPMD.  All field math is exact uint32, so the proof bytes are
+    bit-identical to the single-device path (tested)."""
+
+    def __init__(self, config: PcsConfig, twiddles: TwiddleTree, mesh=None):
         self.config = config
         self.twiddles = twiddles
+        self.mesh = mesh
         self.trees: TreeVec = TreeVec()
 
     def _commit(self, polynomials: List[CirclePoly], channel) -> None:
         self.trees.append(CommitmentTreeProver(
             polynomials, self.config.fri_config.log_blowup_factor, channel,
-            self.twiddles))
+            self.twiddles, mesh=self.mesh))
 
     def tree_builder(self) -> TreeBuilder:
         return TreeBuilder(self, len(self.trees))
@@ -190,6 +216,13 @@ class CommitmentSchemeProver:
             quotients = compute_fri_quotients(
                 columns, flat_samples, random_coeff,
                 self.config.fri_config.log_blowup_factor)
+        if self.mesh is not None:
+            from ..parallel.fft import shard_column
+            from ..poly.circle_poly import SecureEvaluation
+
+            quotients = [
+                SecureEvaluation(q.domain, shard_column(q.values, self.mesh))
+                for q in quotients]
 
         # 3. FRI commitment phase.
         with span("fri_commit"):
