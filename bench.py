@@ -219,6 +219,31 @@ def bench_prove_wide_fib(log_n_rows=8, seq=32):
     return dt
 
 
+def bench_gkr_layers(log_n=20):
+    """Device GKR grand-product layer generation over a 2^log_n hypercube:
+    full layer tower (log_n halvings), layers per second."""
+    import jax
+    import jax.numpy as jnp
+
+    from tstwo_tpu.lookups.gkr import GRAND_PRODUCT, Layer, _gen_layers
+    from tstwo_tpu.lookups.mle import Mle
+
+    rng = np.random.default_rng(9)
+    evals = jnp.asarray(
+        rng.integers(0, P, size=(4, 1 << log_n), dtype=np.uint32))
+
+    def run():
+        layers = _gen_layers(Layer(GRAND_PRODUCT, data=Mle(evals)))
+        jax.block_until_ready(layers[-1].data.evals)
+        return layers
+
+    run()  # compile all sizes
+    t0 = time.perf_counter()
+    layers = run()
+    dt = time.perf_counter() - t0
+    return len(layers) / dt
+
+
 def _try(fn, *a, **k):
     try:
         return fn(*a, **k)
@@ -231,10 +256,12 @@ def main():
     aux = {
         "qm31_mul_ops_per_s": _try(bench_qm31_mul),
         "cfft_roundtrip_points_per_s_log20": _try(bench_cfft_roundtrip),
+        "cfft_roundtrip_points_per_s_log24": _try(bench_cfft_roundtrip, 24),
         "quotient_cells_per_s_log20": _try(bench_quotients),
         "fri_commit_points_per_s_log22": _try(bench_fri_commit),
         "prove_basic_air_seconds_log4": _try(bench_prove),
         "prove_wide_fib_seconds_log8x32": _try(bench_prove_wide_fib),
+        "gkr_layers_per_s_log20": _try(bench_gkr_layers),
     }
     print(json.dumps({
         "metric": "m31_mul_ops_per_s",

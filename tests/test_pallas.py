@@ -102,3 +102,42 @@ def test_pallas_fft_roundtrip(log_n):
     back = fft_kernels.fft_fused(ev, tuple(line_i), circ_i, log_n,
                                  inverse=True, interpret=True)
     assert np.array_equal(np.asarray(back), np.asarray(vals))
+
+
+@pytest.mark.parametrize("log_n,chunk_log", [(15, 14), (16, 14)])
+def test_pallas_fft_large_matches_jnp(log_n, chunk_log):
+    line, circ, _, _ = _twiddles_for(log_n)
+    rng = np.random.default_rng(log_n + 400)
+    vals = jnp.asarray(rng.integers(0, P, size=1 << log_n, dtype=np.uint32))
+    got = np.asarray(fft_kernels.fft_large(vals, tuple(line), circ, log_n,
+                                           chunk_log=chunk_log,
+                                           interpret=True))
+    want = np.asarray(fft_ops.fft_natural_to_bitrev(vals, line, circ))
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("log_n,chunk_log", [(15, 14), (16, 14)])
+def test_pallas_ifft_large_matches_jnp(log_n, chunk_log):
+    _, _, line_i, circ_i = _twiddles_for(log_n)
+    rng = np.random.default_rng(log_n + 500)
+    vals = jnp.asarray(rng.integers(0, P, size=1 << log_n, dtype=np.uint32))
+    got = np.asarray(fft_kernels.fft_large(vals, tuple(line_i), circ_i,
+                                           log_n, chunk_log=chunk_log,
+                                           inverse=True, interpret=True))
+    n_inv = jnp.uint32(pow(1 << log_n, P - 2, P))
+    want = np.asarray(m31_ops.mul(
+        fft_ops.ifft_bitrev_to_natural(vals, line_i, circ_i), n_inv))
+    assert np.array_equal(got, want)
+
+
+def test_pallas_fft_large_roundtrip():
+    log_n, chunk_log = 15, 14
+    line, circ, line_i, circ_i = _twiddles_for(log_n)
+    rng = np.random.default_rng(777)
+    vals = jnp.asarray(rng.integers(0, P, size=1 << log_n, dtype=np.uint32))
+    ev = fft_kernels.fft_large(vals, tuple(line), circ, log_n,
+                               chunk_log=chunk_log, interpret=True)
+    back = fft_kernels.fft_large(ev, tuple(line_i), circ_i, log_n,
+                                 chunk_log=chunk_log, inverse=True,
+                                 interpret=True)
+    assert np.array_equal(np.asarray(back), np.asarray(vals))

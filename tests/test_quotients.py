@@ -51,3 +51,44 @@ def test_device_quotients_match_host_rows():
         expected = accumulate_row_quotients(
             batches, [M31(int(c[row])) for c in cols_np], consts, p)
         assert quot.at(row) == expected, row
+
+
+def test_fri_answers_device_matches_host_scalar():
+    """Batched device fri_answers == per-query host recomputation."""
+    import numpy as np
+
+    from tstwo_tpu.circle import CanonicCoset, SECURE_FIELD_CIRCLE_GEN
+    from tstwo_tpu.fields import QM31
+    from tstwo_tpu.pcs.quotients import (ColumnSampleBatch, PointSample,
+                                         _fri_answers_for_log_size,
+                                         quotient_constants)
+
+    rng = np.random.default_rng(42)
+    log_size = 7
+    n_cols = 5
+    n_queries = 9
+    point = SECURE_FIELD_CIRCLE_GEN
+    point2 = point + point
+    samples = []
+    for i in range(n_cols):
+        s = [PointSample(point, QM31.from_u32_unchecked(
+            *rng.integers(0, (1 << 31) - 1, size=4).tolist()))]
+        if i % 2 == 0:
+            s.append(PointSample(point2, QM31.from_u32_unchecked(
+                *rng.integers(0, (1 << 31) - 1, size=4).tolist())))
+        samples.append(s)
+    coeff = QM31.from_u32_unchecked(5, 6, 7, 8)
+    queries = sorted(rng.choice(1 << log_size, size=n_queries,
+                                replace=False).tolist())
+    qvals = [M31(int(v)) for v in rng.integers(
+        0, (1 << 31) - 1, size=n_queries * n_cols)]
+
+    def run(device):
+        iters = [iter(list(qvals))]
+        return _fri_answers_for_log_size(
+            log_size, samples, coeff, queries, iters, [n_cols],
+            device=device)
+
+    got = run(True)
+    want = run(False)
+    assert got == want

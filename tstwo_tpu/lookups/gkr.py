@@ -1,15 +1,19 @@
 """GKR batch prover/verifier for GrandProduct and LogUp lookup arguments.
 
-Layer generation and per-round sums are vectorized over the hypercube
-(numpy QM31 SoA); the round structure (sumcheck, channel interaction) is
+Layer generation and per-round sums run on the DEVICE: each is one jitted
+jnp kernel over the hypercube (QM31 SoA uint32 [4, n], same layout as
+ops/qm31); the round structure (sumcheck, channel interaction) is
 host-driven.  reference lookups/gkr_prover.ts + gkr_verifier.ts +
-backend/cpu/lookups/gkr.ts.
+backend/cpu/lookups/gkr.ts (their CpuBackend ops become fused XLA kernels
+here -- SURVEY build step 9).
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..fields import M31, QM31
@@ -51,21 +55,16 @@ class Layer:
         if self.is_output_layer():
             return None
         if self.kind == GRAND_PRODUCT:
-            ev = self.data.evals
-            return Layer(GRAND_PRODUCT,
-                         data=Mle(npqm31.mul(ev[:, 0::2], ev[:, 1::2])))
+            return Layer(GRAND_PRODUCT, data=Mle(_next_gp(self.data.evals)))
         d = self.denominators.evals
-        d0, d1 = d[:, 0::2], d[:, 1::2]
         if self.kind == LOGUP_SINGLES:
-            num = npqm31.add(d0, d1)
+            num, den = _next_logup_singles(d)
         else:
             if self.kind == LOGUP_MULTIPLICITIES:
                 n_arr = self.numerators.to_secure().evals
             else:
                 n_arr = self.numerators.evals
-            n0, n1 = n_arr[:, 0::2], n_arr[:, 1::2]
-            num = npqm31.add(npqm31.mul(n0, d1), npqm31.mul(n1, d0))
-        den = npqm31.mul(d0, d1)
+            num, den = _next_logup(n_arr, d)
         return Layer(LOGUP_GENERIC, numerators=Mle(num), denominators=Mle(den))
 
     def try_into_output_layer_values(self) -> List[QM31]:
@@ -124,14 +123,52 @@ class EqEvals:
         return len(self.evals)
 
 
+# ---------------------------------------------------------------------------
+# Jitted device kernels for layer generation and round sums
+# (the hypercube-sized work; one fused XLA program per shape, cached)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _next_gp(ev):
+    return npqm31.mul(ev[:, 0::2], ev[:, 1::2])
+
+
+@jax.jit
+def _next_logup(n_arr, d):
+    d0, d1 = d[:, 0::2], d[:, 1::2]
+    n0, n1 = n_arr[:, 0::2], n_arr[:, 1::2]
+    return (npqm31.add(npqm31.mul(n0, d1), npqm31.mul(n1, d0)),
+            npqm31.mul(d0, d1))
+
+
+@jax.jit
+def _next_logup_singles(d):
+    d0, d1 = d[:, 0::2], d[:, 1::2]
+    return npqm31.add(d0, d1), npqm31.mul(d0, d1)
+
+
+@jax.jit
+def _gen_eq_evals_kernel(y_arr, v0):
+    """y_arr uint32 [k, 4, 1] (most-significant variable first), v0 [4, 1].
+
+    Doubling loop: sizes change each step, so it unrolls statically inside
+    one jit trace (k is a shape constant)."""
+    arr = v0
+    for i in range(y_arr.shape[0] - 1, -1, -1):
+        tmp = npqm31.mul(arr, y_arr[i])
+        arr = jnp.concatenate([npqm31.sub(arr, tmp), tmp], axis=1)
+    return arr
+
+
 def gen_eq_evals(y: Sequence[QM31], v: QM31) -> Mle:
     """eq(x, y) * v for all x in {0,1}^n, bit-reversed
-    (reference backend/cpu/lookups/gkr.ts:90-108), vectorized."""
-    arr = npqm31.scalar(v, 1)
-    for y_i in reversed(list(y)):
-        tmp = npqm31.mul(arr, npqm31.scalar(y_i, 1))
-        arr = np.concatenate([npqm31.sub(arr, tmp), tmp], axis=1)
-    return Mle(arr)
+    (reference backend/cpu/lookups/gkr.ts:90-108), one device kernel."""
+    y = list(y)
+    if not y:
+        return Mle(npqm31.scalar(v, 1))
+    y_arr = jnp.asarray(np.array([q.to_ints() for q in y],
+                                 dtype=np.uint32)).reshape(-1, 4, 1)
+    return Mle(_gen_eq_evals_kernel(y_arr, npqm31.scalar(v, 1)))
 
 
 @dataclass
@@ -174,7 +211,7 @@ class GkrMultivariatePolyOracle:
         y = self.eq_evals.y
         lam = self.lambda_
         layer = self.input_layer
-        eq_arr = self.eq_evals.evals.evals[:, :n_terms]
+        eq_arr = self.eq_evals.evals.evals
 
         if layer.kind == GRAND_PRODUCT:
             e0, e2 = _eval_grand_product_sum(eq_arr, layer.data.evals, n_terms)
@@ -219,24 +256,35 @@ class GkrMultivariatePolyOracle:
         return GkrMask(cols)
 
 
-def _sum_weighted(eq_arr, vals) -> QM31:
-    return npqm31.sum_all(npqm31.mul(eq_arr, vals))
+def _two_sums(a0, a2) -> Tuple[QM31, QM31]:
+    out = np.asarray(jnp.stack([a0, a2]))
+    return (QM31.from_ints([int(v) for v in out[0]]),
+            QM31.from_ints([int(v) for v in out[1]]))
 
 
-def _eval_grand_product_sum(eq_arr, inp, n_terms) -> Tuple[QM31, QM31]:
-    """reference backend/cpu/lookups/gkr.ts:185-220, vectorized."""
+@jax.jit
+def _eval_grand_product_sum_kernel(eq_arr, inp):
+    """reference backend/cpu/lookups/gkr.ts:185-220, one fused kernel."""
+    n_terms = eq_arr.shape[1]
     r0i0 = inp[:, 0: 2 * n_terms: 2]
     r0i1 = inp[:, 1: 2 * n_terms: 2]
     r1i0 = inp[:, 2 * n_terms:: 2]
     r1i1 = inp[:, 2 * n_terms + 1:: 2]
     r2i0 = npqm31.sub(npqm31.double(r1i0), r0i0)
     r2i1 = npqm31.sub(npqm31.double(r1i1), r0i1)
-    at0 = _sum_weighted(eq_arr, npqm31.mul(r0i0, r0i1))
-    at2 = _sum_weighted(eq_arr, npqm31.mul(r2i0, r2i1))
+    at0 = npqm31.sum_all_arr(npqm31.mul(eq_arr, npqm31.mul(r0i0, r0i1)))
+    at2 = npqm31.sum_all_arr(npqm31.mul(eq_arr, npqm31.mul(r2i0, r2i1)))
     return at0, at2
 
 
-def _eval_logup_sum(eq_arr, nums, dens, n_terms, lam) -> Tuple[QM31, QM31]:
+def _eval_grand_product_sum(eq_arr, inp, n_terms) -> Tuple[QM31, QM31]:
+    return _two_sums(*_eval_grand_product_sum_kernel(eq_arr[:, :n_terms],
+                                                     inp))
+
+
+@jax.jit
+def _eval_logup_sum_kernel(eq_arr, nums, dens, lam_arr):
+    n_terms = eq_arr.shape[1]
     n0 = nums[:, 0: 2 * n_terms: 2]
     n1 = nums[:, 1: 2 * n_terms: 2]
     d0 = dens[:, 0: 2 * n_terms: 2]
@@ -249,35 +297,46 @@ def _eval_logup_sum(eq_arr, nums, dens, n_terms, lam) -> Tuple[QM31, QM31]:
     n1_2 = npqm31.sub(npqm31.double(n1b), n1)
     d0_2 = npqm31.sub(npqm31.double(d0b), d0)
     d1_2 = npqm31.sub(npqm31.double(d1b), d1)
-    lam_arr = npqm31.scalar(lam, 1)
 
     def frac_acc(na, da, nb, db):
         numer = npqm31.add(npqm31.mul(na, db), npqm31.mul(nb, da))
         denom = npqm31.mul(da, db)
         return npqm31.add(numer, npqm31.mul(lam_arr, denom))
 
-    at0 = _sum_weighted(eq_arr, frac_acc(n0, d0, n1, d1))
-    at2 = _sum_weighted(eq_arr, frac_acc(n0_2, d0_2, n1_2, d1_2))
+    at0 = npqm31.sum_all_arr(npqm31.mul(eq_arr, frac_acc(n0, d0, n1, d1)))
+    at2 = npqm31.sum_all_arr(
+        npqm31.mul(eq_arr, frac_acc(n0_2, d0_2, n1_2, d1_2)))
     return at0, at2
 
 
-def _eval_logup_singles_sum(eq_arr, dens, n_terms, lam) -> Tuple[QM31, QM31]:
+def _eval_logup_sum(eq_arr, nums, dens, n_terms, lam) -> Tuple[QM31, QM31]:
+    return _two_sums(*_eval_logup_sum_kernel(
+        eq_arr[:, :n_terms], nums, dens, npqm31.scalar(lam, 1)))
+
+
+@jax.jit
+def _eval_logup_singles_sum_kernel(eq_arr, dens, lam_arr):
+    n_terms = eq_arr.shape[1]
     d0 = dens[:, 0: 2 * n_terms: 2]
     d1 = dens[:, 1: 2 * n_terms: 2]
     d0b = dens[:, 2 * n_terms:: 2]
     d1b = dens[:, 2 * n_terms + 1:: 2]
     d0_2 = npqm31.sub(npqm31.double(d0b), d0)
     d1_2 = npqm31.sub(npqm31.double(d1b), d1)
-    lam_arr = npqm31.scalar(lam, 1)
 
     def recip_acc(da, db):
         numer = npqm31.add(da, db)
         denom = npqm31.mul(da, db)
         return npqm31.add(numer, npqm31.mul(lam_arr, denom))
 
-    at0 = _sum_weighted(eq_arr, recip_acc(d0, d1))
-    at2 = _sum_weighted(eq_arr, recip_acc(d0_2, d1_2))
+    at0 = npqm31.sum_all_arr(npqm31.mul(eq_arr, recip_acc(d0, d1)))
+    at2 = npqm31.sum_all_arr(npqm31.mul(eq_arr, recip_acc(d0_2, d1_2)))
     return at0, at2
+
+
+def _eval_logup_singles_sum(eq_arr, dens, n_terms, lam) -> Tuple[QM31, QM31]:
+    return _two_sums(*_eval_logup_singles_sum_kernel(
+        eq_arr[:, :n_terms], dens, npqm31.scalar(lam, 1)))
 
 
 def correct_sum_as_poly_in_first_variable(f_at_0: QM31, f_at_2: QM31,

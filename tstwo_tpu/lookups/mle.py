@@ -1,12 +1,15 @@
 """Multilinear extensions, stored bit-reversed over the boolean hypercube.
 
-Backed by vectorized numpy QM31 (SoA [4, n]); base-field MLEs hold a
-uint64 [n] array.  reference lookups/mle.ts.
+Backed by device (jnp) QM31 SoA [4, n] arrays; base-field MLEs hold a
+uint32 [n] device array.  The per-variable fold is one fused jit kernel.
+reference lookups/mle.ts.
 """
 from __future__ import annotations
 
 from typing import List, Sequence, Union
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..fields import M31, QM31
@@ -14,12 +17,26 @@ from . import npqm31
 from .utils import UnivariatePoly, fold_mle_evals
 
 
-class Mle:
-    """Secure-field MLE: evals [4, 2^n] uint64."""
+def _as_u32(arr) -> jnp.ndarray:
+    if isinstance(arr, jnp.ndarray) and arr.dtype == jnp.uint32:
+        return arr
+    return jnp.asarray(np.asarray(arr).astype(np.uint32))
 
-    def __init__(self, evals: Union[np.ndarray, Sequence[QM31]]):
-        if isinstance(evals, np.ndarray):
-            self.evals = evals.astype(np.uint64)
+
+@jax.jit
+def _fold_first_variable(arr: jnp.ndarray, pv: jnp.ndarray) -> jnp.ndarray:
+    """lhs + p * (rhs - lhs) over the hypercube halves (one fused kernel)."""
+    mid = arr.shape[1] // 2
+    lhs, rhs = arr[:, :mid], arr[:, mid:]
+    return npqm31.add(npqm31.mul(pv, npqm31.sub(rhs, lhs)), lhs)
+
+
+class Mle:
+    """Secure-field MLE: evals uint32 [4, 2^n] on device."""
+
+    def __init__(self, evals: Union[jnp.ndarray, np.ndarray, Sequence[QM31]]):
+        if isinstance(evals, (jnp.ndarray, np.ndarray)):
+            self.evals = _as_u32(evals)
         else:
             self.evals = npqm31.from_qm31_list(list(evals))
         n = self.evals.shape[1]
@@ -33,7 +50,8 @@ class Mle:
         return int(self.evals.shape[1])
 
     def at(self, i: int) -> QM31:
-        return QM31.from_ints([int(self.evals[c, i]) for c in range(4)])
+        col = np.asarray(self.evals[:, i])
+        return QM31.from_ints([int(v) for v in col])
 
     def into_evals(self) -> List[QM31]:
         return npqm31.to_qm31_list(self.evals)
@@ -45,27 +63,24 @@ class Mle:
         """
         arr = self.evals
         for p in point:
-            mid = arr.shape[1] // 2
-            lhs, rhs = arr[:, :mid], arr[:, mid:]
-            pv = npqm31.scalar(p)
-            arr = npqm31.add(npqm31.mul(pv, npqm31.sub(rhs, lhs)), lhs)
-        return QM31.from_ints([int(arr[c, 0]) for c in range(4)])
+            arr = _fold_first_variable(arr, npqm31.scalar(p))
+        a = np.asarray(arr)
+        return QM31.from_ints([int(a[c, 0]) for c in range(4)])
 
     def fix_first_variable(self, assignment: QM31) -> "Mle":
-        mid = self.evals.shape[1] // 2
-        lhs, rhs = self.evals[:, :mid], self.evals[:, mid:]
-        a = npqm31.scalar(assignment)
-        return Mle(npqm31.add(npqm31.mul(a, npqm31.sub(rhs, lhs)), lhs))
+        return Mle(_fold_first_variable(self.evals,
+                                        npqm31.scalar(assignment)))
 
 
 class BaseMle:
-    """Base-field MLE: evals uint64 [2^n]."""
+    """Base-field MLE: evals uint32 [2^n] on device."""
 
-    def __init__(self, evals: Union[np.ndarray, Sequence[M31]]):
-        if isinstance(evals, np.ndarray):
-            self.evals = evals.astype(np.uint64)
+    def __init__(self, evals: Union[jnp.ndarray, np.ndarray, Sequence[M31]]):
+        if isinstance(evals, (jnp.ndarray, np.ndarray)):
+            self.evals = _as_u32(evals)
         else:
-            self.evals = np.array([e.value for e in evals], dtype=np.uint64)
+            self.evals = jnp.asarray(
+                np.array([e.value for e in evals], dtype=np.uint32))
         n = len(self.evals)
         if n == 0 or (n & (n - 1)):
             raise ValueError("number of evaluations must be a power of two")
@@ -80,8 +95,8 @@ class BaseMle:
         return M31(int(self.evals[i]))
 
     def to_secure(self) -> Mle:
-        z = np.zeros_like(self.evals)
-        return Mle(np.stack([self.evals, z, z, z]))
+        z = jnp.zeros_like(self.evals)
+        return Mle(jnp.stack([self.evals, z, z, z]))
 
     def fix_first_variable(self, assignment: QM31) -> Mle:
         return self.to_secure().fix_first_variable(assignment)

@@ -1,80 +1,80 @@
-"""Vectorized QM31 arithmetic on numpy uint64 arrays (exact, host side).
+"""Vectorized QM31 arithmetic for the lookups layer — device (jnp) backed.
 
-Shape convention: [4, n] coordinate-major (same SoA layout as ops/qm31).
-Used by the lookups layer (MLE / GKR) where per-round host control flow
-dominates and compile latency would swamp device gains at test sizes; the
-formulas are identical to ops/qm31 so a jnp backend can be swapped in.
+Shape convention: uint32 [4, n] coordinate-major, the same SoA layout as
+ops/qm31 (which provides the exact limb-split modular kernels).  The MLE /
+GKR round structure stays host-driven; every hypercube-sized array op here
+runs on the device.  Composite per-round kernels are jitted at their call
+sites (lookups/gkr.py, lookups/mle.py).
+
+Kept under its historical name so the lookups modules did not churn when
+the backend moved from host numpy (round 1) to device jnp (round 2).
 """
 from __future__ import annotations
 
 from typing import List, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..fields import QM31
+from ..ops import m31 as m31_ops
+from ..ops import qm31 as qm31_ops
 
-P = np.uint64((1 << 31) - 1)
-
-
-def from_qm31_list(vals: Sequence[QM31]) -> np.ndarray:
-    return np.array([v.to_ints() for v in vals], dtype=np.uint64).T.reshape(4, -1)
+P = (1 << 31) - 1
 
 
-def to_qm31_list(arr: np.ndarray) -> List[QM31]:
-    return [QM31.from_ints([int(arr[c, i]) for c in range(4)])
-            for i in range(arr.shape[1])]
+def from_qm31_list(vals: Sequence[QM31]) -> jnp.ndarray:
+    arr = np.array([v.to_ints() for v in vals], dtype=np.uint32)
+    return jnp.asarray(arr.T.reshape(4, -1))
 
 
-def scalar(v: QM31, n: int = 1) -> np.ndarray:
-    return np.array(v.to_ints(), dtype=np.uint64).reshape(4, 1).repeat(n, 1)
+def to_qm31_list(arr) -> List[QM31]:
+    a = np.asarray(arr)
+    return [QM31.from_ints([int(a[c, i]) for c in range(4)])
+            for i in range(a.shape[1])]
+
+
+def scalar(v: QM31, n: int = 1) -> jnp.ndarray:
+    a = np.array(v.to_ints(), dtype=np.uint32).reshape(4, 1)
+    return jnp.asarray(np.repeat(a, n, axis=1))
 
 
 def add(x, y):
-    return (x + y) % P
+    return qm31_ops.add(x, y)
 
 
 def sub(x, y):
-    return (x + P - y) % P
+    return qm31_ops.sub(x, y)
 
 
 def neg(x):
-    return (P - x) % P
-
-
-def _cmul(a_re, a_im, b_re, b_im):
-    return ((a_re * b_re + (P * P - a_im * b_im)) % P,
-            (a_re * b_im + a_im * b_re) % P)
+    return m31_ops.neg(x)
 
 
 def mul(x, y):
-    a, b, c, d = x[0], x[1], x[2], x[3]
-    e, f, g, h = y[0], y[1], y[2], y[3]
-    # (ac) with R = 2 + i:  lo = x0*y0 + R * x1*y1 ; hi = x0*y1 + x1*y0
-    ac_re, ac_im = _cmul(a, b, e, f)
-    bd_re, bd_im = _cmul(c, d, g, h)
-    # R * bd = (2+i)(u+vi) = (2u - v) + (u + 2v) i
-    rbd_re = (2 * bd_re + P - bd_im) % P
-    rbd_im = (bd_re + 2 * bd_im) % P
-    lo_re = (ac_re + rbd_re) % P
-    lo_im = (ac_im + rbd_im) % P
-    ad_re, ad_im = _cmul(a, b, g, h)
-    bc_re, bc_im = _cmul(c, d, e, f)
-    hi_re = (ad_re + bc_re) % P
-    hi_im = (ad_im + bc_im) % P
-    return np.stack([lo_re, lo_im, hi_re, hi_im])
+    return qm31_ops.mul(x, y)
 
 
 def mul_scalar(x, v: QM31):
-    return mul(x, scalar(v, 1))
-
-
-def sum_all(x) -> QM31:
-    # exact: reduce with % after each chunk
-    acc = np.zeros((4,), dtype=np.uint64)
-    # sum in float-free chunks: each element < 2^31, up to 2^33 elements safe
-    acc = x.sum(axis=1) % P
-    return QM31.from_ints([int(v) for v in acc])
+    return qm31_ops.mul(x, scalar(v, 1))
 
 
 def double(x):
-    return (2 * x) % P
+    return m31_ops.add(x, x)
+
+
+def sum_all_arr(x) -> jnp.ndarray:
+    """Modular sum over the point axis -> [4] (device; log-depth fold)."""
+    while x.shape[1] > 1:
+        half = x.shape[1] // 2
+        rem = x[:, 2 * half:]
+        x = m31_ops.add(x[:, :half], x[:, half:2 * half])
+        if rem.shape[1]:
+            x = jnp.concatenate(
+                [m31_ops.add(x[:, :rem.shape[1]], rem),
+                 x[:, rem.shape[1]:]], axis=1)
+    return x[:, 0]
+
+
+def sum_all(x) -> QM31:
+    return QM31.from_ints([int(v) for v in np.asarray(sum_all_arr(x))])

@@ -155,16 +155,46 @@ def _fft_small(values, line_twiddles, circle_twiddles, inverse):
     return values
 
 
+# Pallas dispatch window (measured on TPU v5e, scripts/measure_fft_large.py;
+# see PERF.md): the two-stage blocked kernel beats the per-layer XLA path
+# only for single large columns -- 1109 vs 981 Mpts/s at 2^22 and 2478 vs
+# 1513 Mpts/s at 2^24.  Batched stacks and smaller sizes stay on the jnp
+# path, which XLA streams better (e.g. 1073 vs 587 Mpts/s at 2^20 x4).
+PALLAS_MIN_LOG = 22
+_FFT_KERNEL_ENV = "TSTWO_FFT_KERNEL"  # auto (default) | jnp | pallas
+
+
+def _use_pallas(n_log: int, ndim: int) -> bool:
+    import os
+
+    mode = os.environ.get(_FFT_KERNEL_ENV, "auto")
+    if mode == "jnp":
+        return False
+    if ndim != 1 or n_log < (PALLAS_MIN_LOG if mode != "pallas" else 15):
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return False
+    return platform in ("tpu", "axon") or mode == "pallas"
+
+
 @jax.jit
 def fft_natural_to_bitrev(values: jnp.ndarray,
                           line_twiddles: Sequence[jnp.ndarray],
                           circle_twiddles: jnp.ndarray) -> jnp.ndarray:
     """Forward CFFT: coefficients (natural) -> evaluations (bit-reversed).
 
-    (reference backend/cpu/circle.ts:115-121 layer order; matrix-view fast
-    path for large 1-D columns, generic layered path otherwise.)
+    (reference backend/cpu/circle.ts:115-121 layer order; two-stage blocked
+    Pallas kernel for large 1-D columns on TPU, matrix-view fast path for
+    other large shapes, generic layered path otherwise.)
     """
     n_log = len(line_twiddles) + 1
+    if _use_pallas(n_log, values.ndim):
+        from .pallas.fft_kernels import fft_large
+
+        return fft_large(values, tuple(line_twiddles), circle_twiddles,
+                         n_log, chunk_log=min(16, n_log - 1))
     if n_log > LANE_LOG + 1:
         if values.ndim == 1:
             return _fft_matrix(values, line_twiddles, circle_twiddles,
@@ -187,6 +217,12 @@ def ifft_bitrev_to_natural(values: jnp.ndarray,
     (reference backend/cpu/circle.ts:186-199)
     """
     n_log = len(line_itwiddles) + 1
+    if _use_pallas(n_log, values.ndim):
+        from .pallas.fft_kernels import fft_large
+
+        return fft_large(values, tuple(line_itwiddles), circle_itwiddles,
+                         n_log, chunk_log=min(16, n_log - 1), inverse=True,
+                         scale_n_inv=False)
     if n_log > LANE_LOG + 1:
         if values.ndim == 1:
             return _fft_matrix(values, line_itwiddles, circle_itwiddles,

@@ -146,3 +146,203 @@ def fft_fused(values: jnp.ndarray, line_twiddles: Sequence[jnp.ndarray],
         interpret=interpret,
     )(values.reshape(r, 128), circ_t, *high, *lows)
     return out.reshape(n)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage blocked CFFT for columns too large for one VMEM residency.
+#
+# View the column as V[n1, r2, 128] (natural index i = r1*n2 + j*128 + c,
+# n2 = r2*128).  Layers with stride >= n2 pair elements at the same (j, c)
+# across r1 -- their twiddle index i >> (l+1) depends only on r1, so stage 1
+# runs a grid over j: each program holds one [n1, 128] strip in VMEM and
+# applies ALL high layers.  The remaining layers live inside one row r1:
+# stage 2 runs a grid over r1, each program holding one [r2, 128] chunk and
+# applying the in-chunk layers exactly like fft_fused (row layers, one
+# transpose, lane layers, circle layer).  Total HBM traffic: 2 read+write
+# passes instead of ~log2(N) for the per-layer XLA path.
+#
+# This is the single-chip analogue of the reference SIMD backend's
+# cached-FFT split (backend/simd/fft/rfft.ts:47-66): their transposeVecs
+# boundary is our stage-1/stage-2 grid boundary.
+# ---------------------------------------------------------------------------
+
+
+def _pad8(a: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Zero-pad `axis` up to a multiple of 8 (sublane tile alignment)."""
+    size = a.shape[axis]
+    pad = (-size) % 8
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
+def _stage2_twiddles(line_twiddles, circle_twiddles, n_log: int,
+                     chunk_log: int):
+    """Per-row twiddle tables for the in-chunk layers, host-precomputed.
+
+    Each table is [n1, pad8(groups), lanes] so a (1, pad8(groups), lanes)
+    BlockSpec slices row r1's twiddles with tile-aligned last dims:
+      * chunk row layers (stride >= 128): value broadcast across 128 lanes;
+      * chunk lane layers + circle layer (applied on the transposed view):
+        the [groups, r2] transposed matrices of fft_fused.
+    """
+    n1 = 1 << (n_log - chunk_log)
+    r2 = 1 << (chunk_log - LANE_LOG)
+    chunk_high = [
+        _pad8(jnp.broadcast_to(
+            line_twiddles[l - 1].reshape(n1, -1, 1),
+            (n1, 1 << (chunk_log - 1 - l), 128)), 1)
+        for l in range(chunk_log - 1, LANE_LOG - 1, -1)
+    ]
+    chunk_low = [
+        _pad8(line_twiddles[l - 1].reshape(n1, r2, 1 << (LANE_LOG - 1 - l))
+              .transpose(0, 2, 1), 1)
+        for l in range(LANE_LOG - 1, 0, -1)
+    ]
+    circ = (circle_twiddles.reshape(n1, r2, 1 << (LANE_LOG - 1))
+            .transpose(0, 2, 1))
+    return chunk_high, chunk_low, circ
+
+
+def _axis0_butterfly(v, stride, t, inverse):
+    """Butterfly pairing leading-axis indices r ^ stride of v[R, 8, 128];
+    t is [groups, 1, 1, 1]."""
+    rows = v.shape[0]
+    x = v.reshape(rows // (2 * stride), 2, stride, *v.shape[1:])
+    v0 = x[:, 0]
+    v1 = x[:, 1]
+    if not inverse:
+        prod = _mul(v1, t)
+        out = jnp.stack([_add(v0, prod), _sub(v0, prod)], axis=1)
+    else:
+        out = jnp.stack([_add(v0, v1), _mul(_sub(v0, v1), t)], axis=1)
+    return out.reshape(v.shape)
+
+
+@partial(jax.jit,
+         static_argnames=("n_log", "chunk_log", "inverse", "scale_n_inv",
+                          "interpret"))
+def fft_large(values: jnp.ndarray, line_twiddles: Sequence[jnp.ndarray],
+              circle_twiddles: jnp.ndarray, n_log: int,
+              chunk_log: int = 16, inverse: bool = False,
+              scale_n_inv: bool = True,
+              interpret: bool = False) -> jnp.ndarray:
+    """Whole CFFT in two grid passes for 2^n_log values, n_log > chunk_log.
+
+    The inverse includes the 1/N scaling fused into the stage-1 write
+    unless scale_n_inv=False (drop-in for ops.fft.ifft_bitrev_to_natural,
+    which leaves the scaling to the caller).
+    Requires chunk_log >= 14 (stage-2 twiddle tables need r2 = n2/128 to be
+    a multiple of 128 lanes) and n_log > chunk_log.
+    """
+    n = 1 << n_log
+    if values.shape[-1] != n:
+        raise ValueError("size mismatch")
+    if not (LANE_LOG + 7 <= chunk_log < n_log):
+        raise ValueError("need 14 <= chunk_log < n_log")
+    n1 = 1 << (n_log - chunk_log)
+    r2 = 1 << (chunk_log - LANE_LOG)
+    n_inv = pow(n, P - 2, P)
+
+    # stage-1 twiddles: layers l in [chunk_log, n_log); twiddle index
+    # = r1 >> (l+1-chunk_log), identical for every program
+    stage1 = [line_twiddles[l - 1].reshape(-1, 1, 1, 1)
+              for l in range(n_log - 1, chunk_log - 1, -1)]
+    chunk_high, chunk_low, circ = _stage2_twiddles(
+        line_twiddles, circle_twiddles, n_log, chunk_log)
+    n_s1 = len(stage1)
+    n_ch = len(chunk_high)
+    n_cl = len(chunk_low)
+
+    def stage1_body(vals_ref, *rest):
+        t_refs = rest[:n_s1]
+        out_ref = rest[-1]
+        v = vals_ref[...]  # [n1, 8, 128]
+        if not inverse:
+            for i, tref in enumerate(t_refs):
+                l = n_log - 1 - i
+                v = _axis0_butterfly(v, 1 << (l - chunk_log), tref[...],
+                                     False)
+            out_ref[...] = v
+        else:
+            for i, tref in enumerate(reversed(t_refs)):
+                v = _axis0_butterfly(v, 1 << i, tref[...], True)
+            out_ref[...] = _mul(v, jnp.uint32(n_inv)) if scale_n_inv else v
+
+    def stage2_body(vals_ref, circ_ref, *rest):
+        ch_refs = rest[:n_ch]
+        cl_refs = rest[n_ch:n_ch + n_cl]
+        out_ref = rest[-1]
+        v = vals_ref[0]  # [r2, 128]
+        if not inverse:
+            for i, tref in enumerate(ch_refs):
+                l = chunk_log - 1 - i
+                g = 1 << (chunk_log - 1 - l)
+                v = _row_butterfly(v, 1 << (l - LANE_LOG),
+                                   tref[0][0:g][:, None, :], False)
+            w = v.T  # [128, r2]
+            for i, tref in enumerate(cl_refs):
+                l = LANE_LOG - 1 - i
+                g = 1 << (LANE_LOG - 1 - l)
+                w = _row_butterfly(w, 1 << l,
+                                   tref[0][0:g][:, None, :], False)
+            w = _row_butterfly(w, 1, circ_ref[0][:, None, :], False)
+            out_ref[...] = w.T.reshape(1, r2, 128)
+        else:
+            w = v.T
+            w = _row_butterfly(w, 1, circ_ref[0][:, None, :], True)
+            for i, tref in enumerate(reversed(cl_refs)):
+                l = i + 1
+                g = 1 << (LANE_LOG - 1 - l)
+                w = _row_butterfly(w, 1 << l,
+                                   tref[0][0:g][:, None, :], True)
+            v = w.T
+            for i, tref in enumerate(reversed(ch_refs)):
+                l = LANE_LOG + i
+                g = 1 << (chunk_log - 1 - l)
+                v = _row_butterfly(v, 1 << i,
+                                   tref[0][0:g][:, None, :], True)
+            out_ref[...] = v.reshape(1, r2, 128)
+
+    def run_stage1(v3):
+        return pl.pallas_call(
+            stage1_body,
+            out_shape=jax.ShapeDtypeStruct((n1, r2, 128), jnp.uint32),
+            grid=(r2 // 8,),
+            in_specs=[pl.BlockSpec((n1, 8, 128), lambda g: (0, g, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_s1,
+            out_specs=pl.BlockSpec((n1, 8, 128), lambda g: (0, g, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(v3, *stage1)
+
+    def run_stage2(v3):
+        tspecs = (
+            [pl.BlockSpec((1,) + circ.shape[1:], lambda r: (r, 0, 0),
+                          memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec((1,) + t.shape[1:], lambda r: (r, 0, 0),
+                            memory_space=pltpu.VMEM)
+               for t in chunk_high + chunk_low]
+        )
+        return pl.pallas_call(
+            stage2_body,
+            out_shape=jax.ShapeDtypeStruct((n1, r2, 128), jnp.uint32),
+            grid=(n1,),
+            in_specs=[pl.BlockSpec((1, r2, 128), lambda r: (r, 0, 0),
+                                   memory_space=pltpu.VMEM)] + tspecs,
+            out_specs=pl.BlockSpec((1, r2, 128), lambda r: (r, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(v3, circ, *chunk_high, *chunk_low)
+
+    v3 = values.reshape(n1, r2, 128)
+    if not inverse:
+        v3 = run_stage1(v3)
+        v3 = run_stage2(v3)
+    else:
+        v3 = run_stage2(v3)
+        v3 = run_stage1(v3)
+    return v3.reshape(n)

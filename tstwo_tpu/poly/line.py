@@ -30,8 +30,12 @@ class LineDomain:
             if coset.initial.x.is_zero():
                 raise ValueError("coset x-coordinates not unique")
         elif size > 2:
-            if not (coset.initial.x == M31.one()
-                    or _log_order(coset.initial) >= _log_order_pt(coset.step) + 2):
+            # Rust stwo poly/line.rs::LineDomain::new asserts
+            # ord(initial) >= ord(step) * 4; the reference TS adds an
+            # "initial == identity is always valid" escape
+            # (poly/line.ts:47-49) which is wrong -- x(kG) == x(-kG), so a
+            # size->2 subgroup has duplicate x's.  We follow Rust.
+            if not _log_order(coset.initial) >= _log_order_pt(coset.step) + 2:
                 raise ValueError("coset x-coordinates not unique")
         return LineDomain(coset)
 
