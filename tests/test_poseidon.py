@@ -44,3 +44,58 @@ def test_draws_differ():
     ch = Poseidon252Channel()
     assert ch.draw_felt() != ch.draw_felt()
     assert ch.draw_random_bytes() != ch.draw_random_bytes()
+
+
+def test_device_merkle_root_matches_host_hash_node():
+    """Device-batched Poseidon Merkle commit == host scalar hash_node tree."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tstwo_tpu.fields import M31
+    from tstwo_tpu.vcs.poseidon252_merkle import (Poseidon252MerkleProver,
+                                                  hash_node)
+
+    rng = np.random.default_rng(3)
+    P = (1 << 31) - 1
+    log = 4
+    cols = [jnp.asarray(rng.integers(0, P, size=1 << log, dtype=np.uint32))
+            for _ in range(3)]
+    prover = Poseidon252MerkleProver.commit(cols)
+
+    # host oracle
+    host_cols = [np.asarray(c) for c in cols]
+    layer = [hash_node(None, [M31(int(c[i])) for c in host_cols])
+             for i in range(1 << log)]
+    while len(layer) > 1:
+        layer = [hash_node((layer[2 * i], layer[2 * i + 1]), [])
+                 for i in range(len(layer) // 2)]
+    assert prover.root() == layer[0]
+
+
+def test_device_merkle_mixed_sizes_decommit_verify():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tstwo_tpu.vcs.poseidon252_merkle import (Poseidon252MerkleProver,
+                                                  hash_node)
+    from tstwo_tpu.vcs.verifier import MerkleVerifier
+
+    rng = np.random.default_rng(5)
+    P = (1 << 31) - 1
+    cols = [jnp.asarray(rng.integers(0, P, size=1 << 5, dtype=np.uint32)),
+            jnp.asarray(rng.integers(0, P, size=1 << 3, dtype=np.uint32)),
+            jnp.asarray(rng.integers(0, P, size=1 << 5, dtype=np.uint32))]
+    prover = Poseidon252MerkleProver.commit(cols)
+    queries = {5: [0, 9, 31], 3: [4]}
+    vals, dec = prover.decommit(queries, cols)
+    verifier = MerkleVerifier(prover.root(), [5, 3, 5], hasher=hash_node)
+    verifier.verify(queries, vals, dec)  # no raise
+
+    # tamper: flip a queried value
+    from tstwo_tpu.fields import M31
+    from tstwo_tpu.vcs.verifier import MerkleVerificationError
+    import pytest
+
+    bad = [M31((vals[0].value + 1) % P)] + list(vals[1:])
+    with pytest.raises(MerkleVerificationError):
+        verifier.verify(queries, bad, dec)

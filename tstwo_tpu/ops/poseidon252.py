@@ -99,7 +99,15 @@ def sub(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return add(a, jnp.stack(pb, axis=-1))
 
 
-_P_REST = np.array(_P_LIMBS[1:], dtype=np.uint32)  # p limbs 1..20
+_P_NONZERO_REST = tuple(j for j in range(1, N_LIMBS) if _P_LIMBS[j])
+
+# 0/1 tensor S[i, j, i+j] = 1: contracts the outer product into the 42-limb
+# convolution in one dot (uint32 sums stay < 21 * 2^24 < 2^29); built lazily
+# so importing this module does not initialize a jax backend
+_CONV_SELECT_NP = np.zeros((N_LIMBS, N_LIMBS, 2 * N_LIMBS), dtype=np.uint32)
+for _i in range(N_LIMBS):
+    for _j in range(N_LIMBS):
+        _CONV_SELECT_NP[_i, _j, _i + _j] = 1
 
 
 def mont_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -110,36 +118,47 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     final carry ripple, and an extended conditional subtract (the reduced
     value is < 2p which exceeds R = 2^252 by one bit)."""
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    t = jnp.zeros(shape + (2 * N_LIMBS,), dtype=jnp.uint32)
+    # The schoolbook product lattice is ONE outer product contracted with a
+    # constant 0/1 anti-diagonal tensor (compile-friendly: the original
+    # .at[].add dynamic-update-slice loops made the jitted Hades graph take
+    # ~7 minutes of XLA time; this form compiles in seconds).
+    prod = (a[..., :, None].astype(jnp.uint32)
+            * b[..., None, :])  # [..., 21, 21], each < 2^24
+    t_arr = jnp.einsum("...ij,ijk->...k", prod,
+                       jnp.asarray(_CONV_SELECT_NP),
+                       preferred_element_type=jnp.uint32)  # [..., 42]
+    t = [t_arr[..., k] for k in range(2 * N_LIMBS)]
+    zero = jnp.zeros(shape, dtype=jnp.uint32)
+    c = zero
+    # Montgomery reduction; p = 2^251 + 17*2^192 + 1 has only three nonzero
+    # limbs ({0: 1, 16: 17, 20: 2^11}), so each step touches two positions
+    # beyond the carry instead of twenty.
     for i in range(N_LIMBS):
-        t = t.at[..., i:i + N_LIMBS].add(a[..., i:i + 1] * b)
-    p_rest = jnp.asarray(_P_REST)
-    c = jnp.zeros(shape, dtype=jnp.uint32)
-    for i in range(N_LIMBS):
-        v = t[..., i] + c
+        v = t[i] + c
         m = (v * jnp.uint32(P_INV_NEG)) & MASK
         c = (v + m * jnp.uint32(_P_LIMBS[0])) >> B
-        t = t.at[..., i + 1:i + N_LIMBS].add(m[..., None] * p_rest)
+        for j in _P_NONZERO_REST:
+            t[i + j] = t[i + j] + m * jnp.uint32(_P_LIMBS[j])
     # result = limbs N..2N-1 plus carry c entering at the bottom
     out = []
     carry = c
     for k in range(N_LIMBS, 2 * N_LIMBS):
-        s = t[..., k] + carry
+        s = t[k] + carry
         out.append(s & MASK)
         carry = s >> B
     out.append(carry)  # 22nd limb: result < 2p can exceed R by one bit
-    res22 = jnp.stack(out, axis=-1)
     # conditional subtract over 22 limbs
-    borrow = jnp.zeros(shape, dtype=jnp.uint32)
+    borrow = zero
     p22 = list(_P_LIMBS) + [0]
     diff = []
     for i in range(N_LIMBS + 1):
-        s = res22[..., i] - jnp.uint32(p22[i]) - borrow
+        s = out[i] - jnp.uint32(p22[i]) - borrow
         diff.append(s & MASK)
         borrow = (s >> 31) & 1
     keep = borrow.astype(bool)  # borrow out => value < p
-    diff = jnp.stack(diff, axis=-1)
-    return jnp.where(keep[..., None], res22, diff)[..., :N_LIMBS]
+    res = jnp.stack(out[:N_LIMBS], axis=-1)
+    diff = jnp.stack(diff[:N_LIMBS], axis=-1)
+    return jnp.where(keep[..., None], res, diff)
 
 
 @lru_cache(maxsize=None)

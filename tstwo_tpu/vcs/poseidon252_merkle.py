@@ -39,3 +39,144 @@ class Poseidon252MerkleChannel:
     @staticmethod
     def mix_root(channel: Poseidon252Channel, root: FieldElement252) -> None:
         channel.mix_root(root)
+
+
+# ---------------------------------------------------------------------------
+# Device-batched Merkle prover (HOT LOOP #3 for the Poseidon flavor):
+# each layer is ONE batched Hades sweep via ops/poseidon252 (21x12-bit-limb
+# Montgomery kernel) instead of a host scalar loop.
+# ---------------------------------------------------------------------------
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _commit_layer_device(prev, cols):
+    """prev: uint32[2n, 21] | None; cols: tuple of uint32[n] M31 columns.
+    Returns uint32[n, 21] (one poseidon_hash_many per node, batched)."""
+    from ..ops import poseidon252 as pos
+
+    if prev is not None:
+        n = prev.shape[0] // 2
+    else:
+        n = cols[0].shape[0]
+    felts = []
+    if prev is not None:
+        pl = prev.reshape(n, 2, pos.N_LIMBS)
+        felts.append(pl[:, 0])
+        felts.append(pl[:, 1])
+    if cols:
+        n_blocks = -(-len(cols) // ELEMENTS_IN_BLOCK)
+        padded = list(cols) + [jnp.zeros_like(cols[0])] * (
+            ELEMENTS_IN_BLOCK * n_blocks - len(cols))
+        stacked = jnp.stack(padded)  # [8*n_blocks, n]
+        for b in range(n_blocks):
+            felts.append(pos.pack_m31_columns(
+                stacked[8 * b: 8 * (b + 1)]))
+    return pos.poseidon_hash_many(felts)
+
+
+class Poseidon252MerkleProver:
+    """Mixed-size-column Merkle tree over felt252 nodes; layer hashing runs
+    batched on device (layers are uint32[2^log, 21] limb arrays).
+
+    reference vcs/poseidon252_merkle.ts:19-56 + vcs/prover.ts:13-109; the
+    Rust SIMD backend's poseidon252 commit_on_layer is the spec the batched
+    kernel replaces (the reference TS simd/poseidon252.ts is an empty stub).
+    """
+
+    def __init__(self, layers):
+        self.layers = layers  # index == log size
+        self._root = None
+
+    # Layers smaller than this are padded up to it so every small layer of
+    # every tree shares ONE compiled shape per structure -- the jitted Hades
+    # graph costs ~1 min of XLA CPU compile, so shapes must be contained
+    # (large layers compile once per power-of-two size).
+    PAD = 512
+
+    @staticmethod
+    def _layer(prev, layer_cols):
+        from ..ops import poseidon252 as pos
+
+        n = (prev.shape[0] // 2 if prev is not None
+             else layer_cols[0].shape[-1])
+        pad = Poseidon252MerkleProver.PAD
+        if n >= pad:
+            return _commit_layer_device(prev, tuple(layer_cols))
+        pc = None
+        if prev is not None:
+            pc = jnp.concatenate([
+                prev, jnp.zeros((2 * pad - prev.shape[0], pos.N_LIMBS),
+                                dtype=jnp.uint32)])
+        cc = tuple(jnp.pad(c, (0, pad - n)) for c in layer_cols)
+        return _commit_layer_device(pc, cc)[:n]
+
+    @staticmethod
+    def commit(columns) -> "Poseidon252MerkleProver":
+        from ..ops import poseidon252 as pos
+
+        cols = sorted(columns, key=lambda c: -c.shape[-1])
+        if not cols:
+            root = hash_node(None, [])
+            return Poseidon252MerkleProver(
+                [jnp.asarray(pos.ints_to_limb_array([root.value]))])
+        max_log = int(cols[0].shape[-1]).bit_length() - 1
+        prev = None
+        layers = {}
+        for log in range(max_log, -1, -1):
+            layer_cols = tuple(c for c in cols if c.shape[-1] == (1 << log))
+            prev = Poseidon252MerkleProver._layer(prev, layer_cols)
+            layers[log] = prev
+        return Poseidon252MerkleProver(
+            [layers[i] for i in range(max_log + 1)])
+
+    def root(self) -> FieldElement252:
+        if self._root is None:
+            from ..ops import poseidon252 as pos
+
+            self._root = FieldElement252(
+                pos.limb_array_to_ints(np.asarray(self.layers[0][0]))[0])
+        return self._root
+
+    def decommit(self, queries_per_log_size, columns):
+        """Witness assembly; shares the index-only plan with the Blake2s
+        prover, gathers hashes/values per layer with one device take each."""
+        from ..ops import poseidon252 as pos
+        from .prover import MerkleDecommitment, plan_decommitment
+
+        layer_plans = plan_decommitment(queries_per_log_size,
+                                        len(self.layers), columns)
+        queried: list = []
+        dec = MerkleDecommitment()
+        for plan in layer_plans:
+            log = plan["log"]
+            hashes = None
+            if plan["hash_idxs"]:
+                idx = jnp.asarray(np.array(plan["hash_idxs"], dtype=np.int64))
+                gathered = np.asarray(
+                    jnp.take(self.layers[log + 1], idx, axis=0))
+                hashes = [FieldElement252(v) for v in
+                          pos.limb_array_to_ints(gathered)]
+            values = []
+            if plan["node_idxs"] and plan["cols"]:
+                idx = jnp.asarray(np.array(plan["node_idxs"], dtype=np.int64))
+                stacked = (plan["cols"][0][None, :]
+                           if len(plan["cols"]) == 1
+                           else jnp.stack(plan["cols"]))
+                g = np.asarray(jnp.take(stacked, idx, axis=-1))
+                values = [g[k] for k in range(g.shape[0])]
+            hi = 0
+            for si, (node, witness_children, was_queried) in enumerate(
+                    plan["steps"]):
+                for _ in witness_children:
+                    dec.hash_witness.append(hashes[hi])
+                    hi += 1
+                node_values = [M31(int(vals[si])) for vals in values]
+                if was_queried:
+                    queried.extend(node_values)
+                else:
+                    dec.column_witness.extend(node_values)
+        return queried, dec

@@ -92,6 +92,53 @@ def _commit_all_layers(max_log: int, cols: tuple):
     return tuple(layers[i] for i in range(max_log + 1))
 
 
+def plan_decommitment(queries_per_log_size: Mapping[int, Sequence[int]],
+                      n_layers: int, columns: Sequence[jnp.ndarray]):
+    """Phase 1 of decommitment: index-only traversal (hash-agnostic, shared
+    by the Blake2s and Poseidon252 provers).  Per layer (big->small) returns
+    a dict with the visited nodes, which child hashes enter the witness,
+    and which nodes carry queried values (reference vcs/prover.ts:32-109)."""
+    cols_sorted = sorted(columns, key=lambda c: -c.shape[-1])
+    col_idx = 0
+    layer_plans = []
+    last_layer_queries: List[int] = []
+    for layer_log in range(n_layers - 1, -1, -1):
+        layer_cols: List[jnp.ndarray] = []
+        while (col_idx < len(cols_sorted)
+               and cols_sorted[col_idx].shape[-1] == (1 << layer_log)):
+            layer_cols.append(cols_sorted[col_idx])
+            col_idx += 1
+        has_children = layer_log + 1 < n_layers
+        plan = {
+            "log": layer_log,
+            "cols": layer_cols,
+            "steps": [],  # (node, [child hash idxs], queried: bool)
+            "hash_idxs": [],
+            "node_idxs": [],
+        }
+        prev_q = Peekable(last_layer_queries)
+        direct_q = Peekable(list(queries_per_log_size.get(layer_log, [])))
+        layer_total: List[int] = []
+        while True:
+            node = next_decommitment_node(prev_q, direct_q)
+            if node is None:
+                break
+            witness_children = []
+            if has_children:
+                if not prev_q.next_if_eq(2 * node):
+                    witness_children.append(2 * node)
+                if not prev_q.next_if_eq(2 * node + 1):
+                    witness_children.append(2 * node + 1)
+            queried = direct_q.next_if_eq(node)
+            plan["steps"].append((node, witness_children, queried))
+            plan["hash_idxs"].extend(witness_children)
+            plan["node_idxs"].append(node)
+            layer_total.append(node)
+        last_layer_queries = layer_total
+        layer_plans.append(plan)
+    return layer_plans
+
+
 class MerkleProver:
     """Multi-column Merkle tree (one commitOnLayer per log size,
     leaves->root).  Layers are device arrays [2^log, 8]."""
@@ -155,47 +202,8 @@ class MerkleProver:
         returned finish() emits them in canonical order once the batch is
         materialized — so any number of tree decommits share ONE transfer.
         """
-        cols_sorted = sorted(columns, key=lambda c: -c.shape[-1])
-        n_layers = len(self.layers)
-
-        # ---- phase 1: index-only traversal --------------------------------
-        col_idx = 0
-        layer_plans = []  # per layer (big->small): dict
-        last_layer_queries: List[int] = []
-        for layer_log in range(n_layers - 1, -1, -1):
-            layer_cols: List[jnp.ndarray] = []
-            while (col_idx < len(cols_sorted)
-                   and cols_sorted[col_idx].shape[-1] == (1 << layer_log)):
-                layer_cols.append(cols_sorted[col_idx])
-                col_idx += 1
-            has_children = layer_log + 1 < n_layers
-            plan = {
-                "log": layer_log,
-                "cols": layer_cols,
-                "steps": [],  # (node, [child hash idxs], queried: bool)
-                "hash_idxs": [],
-                "node_idxs": [],
-            }
-            prev_q = Peekable(last_layer_queries)
-            direct_q = Peekable(list(queries_per_log_size.get(layer_log, [])))
-            layer_total: List[int] = []
-            while True:
-                node = next_decommitment_node(prev_q, direct_q)
-                if node is None:
-                    break
-                witness_children = []
-                if has_children:
-                    if not prev_q.next_if_eq(2 * node):
-                        witness_children.append(2 * node)
-                    if not prev_q.next_if_eq(2 * node + 1):
-                        witness_children.append(2 * node + 1)
-                queried = direct_q.next_if_eq(node)
-                plan["steps"].append((node, witness_children, queried))
-                plan["hash_idxs"].extend(witness_children)
-                plan["node_idxs"].append(node)
-                layer_total.append(node)
-            last_layer_queries = layer_total
-            layer_plans.append(plan)
+        layer_plans = plan_decommitment(queries_per_log_size, len(self.layers),
+                                        columns)
 
         # ---- phase 2: deferred batched device gathers ----------------------
         # one gather for the child hashes, one for ALL columns of the layer

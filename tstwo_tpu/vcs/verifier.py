@@ -26,7 +26,7 @@ class MerkleVerificationError(Exception):
 class MerkleVerifier:
     root: bytes
     column_log_sizes: List[int]
-    hasher=None
+    hasher: object = None  # hash_node(children, values); default Blake2s
 
     def __post_init__(self):
         self.n_columns_per_log_size = Counter(self.column_log_sizes)
@@ -37,6 +37,7 @@ class MerkleVerifier:
         queried_values: Sequence[M31],
         decommitment: MerkleDecommitment,
     ) -> None:
+        hash_node = self.hasher or globals()["hash_node"]
         if not self.column_log_sizes:
             return
         max_log = max(self.column_log_sizes)
