@@ -99,3 +99,45 @@ def test_device_merkle_mixed_sizes_decommit_verify():
     bad = [M31((vals[0].value + 1) % P)] + list(vals[1:])
     with pytest.raises(MerkleVerificationError):
         verifier.verify(queries, bad, dec)
+
+
+def test_poseidon_e2e_prove_verify():
+    """Production prove()/verify() with the Poseidon252 MerkleChannel flavor:
+    device-batched Hades Merkle layers (ops/poseidon252.py), host transcript.
+    reference vcs/poseidon252_merkle.ts:19-56 + channel/poseidon.ts."""
+    from tstwo_tpu.examples.basic_air import (prove_basic_air,
+                                              verify_basic_air)
+
+    proof, comp, cfg = prove_basic_air(log_num_rows=4, flavor="poseidon252")
+    verify_basic_air(proof, comp, cfg, log_num_rows=4, flavor="poseidon252")
+
+
+def test_poseidon_e2e_tamper_rejected():
+    import copy
+
+    from tstwo_tpu.examples.basic_air import (prove_basic_air,
+                                              verify_basic_air)
+    from tstwo_tpu.fields import M31
+    from tstwo_tpu.pcs.verifier import VerificationError
+
+    proof, comp, cfg = prove_basic_air(log_num_rows=4, flavor="poseidon252")
+    bad = copy.deepcopy(proof)
+    v = bad.commitment_scheme_proof.queried_values[1][0]
+    bad.commitment_scheme_proof.queried_values[1][0] = M31(
+        (v.value + 1) % ((1 << 31) - 1))
+    try:
+        verify_basic_air(bad, comp, cfg, log_num_rows=4, flavor="poseidon252")
+        assert False, "tampered proof accepted"
+    except VerificationError:
+        pass
+
+
+def test_poseidon_flavor_channels_differ_from_blake2s():
+    """The two flavors must produce structurally equal but byte-distinct
+    transcripts (different hash, different roots, different queries)."""
+    from tstwo_tpu.examples.basic_air import prove_basic_air
+
+    p_b, _, _ = prove_basic_air(log_num_rows=4)
+    p_p, _, _ = prove_basic_air(log_num_rows=4, flavor="poseidon252")
+    assert len(p_b.commitments) == len(p_p.commitments)
+    assert p_b.commitments[1] != p_p.commitments[1]

@@ -63,12 +63,18 @@ def generate_trace(log_num_rows: int,
 
 
 def prove_basic_air(log_num_rows: int = 4, config: PcsConfig = None,
-                    mesh=None) -> Tuple[StarkProof, FrameworkComponent, PcsConfig]:
+                    mesh=None, flavor: str = "blake2s",
+                    ) -> Tuple[StarkProof, FrameworkComponent, PcsConfig]:
     """Full prove flow of rust-examples/05_proving_an_air.rs:52-121.
 
     With `mesh`, the production pipeline runs point-sharded over the device
     mesh (bit-identical proof bytes; see CommitmentSchemeProver).
+    `flavor` selects the MerkleChannel: "blake2s" (fused device transcript)
+    or "poseidon252" (device-batched Hades Merkle, host transcript).
     """
+    from ..vcs.ops import MERKLE_OPS
+
+    merkle_ops = MERKLE_OPS[flavor]
     config = config or PcsConfig()
     columns = generate_trace(log_num_rows)
     domain = CanonicCoset.new(log_num_rows).circle_domain()
@@ -80,8 +86,10 @@ def prove_basic_air(log_num_rows: int = 4, config: PcsConfig = None,
             + config.fri_config.log_blowup_factor
         ).circle_domain().half_coset)
 
-    channel = Blake2sChannel()
-    commitment_scheme = CommitmentSchemeProver(config, twiddles, mesh=mesh)
+    channel = merkle_ops.default_channel()
+    commitment_scheme = CommitmentSchemeProver(
+        config, twiddles, mesh=mesh,
+        merkle_ops=None if flavor == "blake2s" else merkle_ops)
 
     # preprocessed trace (empty)
     tree_builder = commitment_scheme.tree_builder()
@@ -102,10 +110,15 @@ def prove_basic_air(log_num_rows: int = 4, config: PcsConfig = None,
 
 
 def verify_basic_air(proof: StarkProof, component: FrameworkComponent,
-                     config: PcsConfig, log_num_rows: int = 4) -> None:
+                     config: PcsConfig, log_num_rows: int = 4,
+                     flavor: str = "blake2s") -> None:
     """Verify flow (rust-examples/05_proving_an_air.rs:123-133)."""
-    channel = Blake2sChannel()
-    commitment_scheme = CommitmentSchemeVerifier(config)
+    from ..vcs.ops import MERKLE_OPS
+
+    merkle_ops = MERKLE_OPS[flavor]
+    channel = merkle_ops.default_channel()
+    commitment_scheme = CommitmentSchemeVerifier(
+        config, merkle_ops=None if flavor == "blake2s" else merkle_ops)
     sizes = component.trace_log_degree_bounds()
     commitment_scheme.commit(proof.commitments[0], sizes[0], channel)
     channel.mix_u64(log_num_rows)

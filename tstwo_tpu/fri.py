@@ -256,11 +256,14 @@ class FriFirstLayerProver:
     """Commits the raw quotient columns (all coordinate columns in one tree)."""
 
     def __init__(self, columns: List[SecureEvaluation],
-                 merkle_tree: Optional[MerkleProver] = None):
+                 merkle_tree: Optional[MerkleProver] = None,
+                 merkle_ops=None):
+        from .vcs.ops import Blake2sMerkleOps
+
         self.columns = columns
         if merkle_tree is None:
             coord_cols = [c for se in columns for c in se.columns()]
-            merkle_tree = MerkleProver.commit(coord_cols)
+            merkle_tree = (merkle_ops or Blake2sMerkleOps).commit(coord_cols)
         self.merkle_tree = merkle_tree
 
     def column_log_sizes(self) -> List[int]:
@@ -305,11 +308,14 @@ class FriInnerLayerProver:
     """One committed line-evaluation layer."""
 
     def __init__(self, evaluation: LineEvaluation,
-                 merkle_tree: Optional[MerkleProver] = None):
+                 merkle_tree: Optional[MerkleProver] = None,
+                 merkle_ops=None):
+        from .vcs.ops import Blake2sMerkleOps
+
         self.evaluation = evaluation
         if merkle_tree is None:
             cols = [evaluation.values[i] for i in range(4)]
-            merkle_tree = MerkleProver.commit(cols)
+            merkle_tree = (merkle_ops or Blake2sMerkleOps).commit(cols)
         self.merkle_tree = merkle_tree
 
     def decommit(self, queries: Queries) -> FriLayerProof:
@@ -393,7 +399,7 @@ class FriProver:
 
     @staticmethod
     def commit(channel, config: FriConfig, columns: List[SecureEvaluation],
-               twiddles: TwiddleTree) -> "FriProver":
+               twiddles: TwiddleTree, merkle_ops=None) -> "FriProver":
         """FRI commitment with a device-resident Fiat-Shamir transcript.
 
         The whole commit chain -- first-layer Merkle, per-layer mix_root /
@@ -405,6 +411,11 @@ class FriProver:
         end.  Bit-exact with commit_host (reference fri.ts:644-674 structure
         with the mocked roots/alphas replaced by real ones).
         """
+        if merkle_ops is not None and not merkle_ops.fused_fri_transcript:
+            # Non-Blake2s flavors (Poseidon252) keep the transcript on the
+            # host channel; layer hashing still runs batched on device.
+            return FriProver.commit_host(channel, config, columns, twiddles,
+                                         merkle_ops=merkle_ops)
         FriProver._validate_columns(columns)
         sizes = [se.domain.size() for se in columns]
         last_size = config.last_layer_domain_size()
@@ -461,19 +472,21 @@ class FriProver:
     @staticmethod
     def commit_host(channel, config: FriConfig,
                     columns: List[SecureEvaluation],
-                    twiddles: TwiddleTree) -> "FriProver":
+                    twiddles: TwiddleTree, merkle_ops=None) -> "FriProver":
         """Host-transcript reference path (one dispatch + fetch per layer);
-        kept as the cross-check oracle for the fused commit."""
+        the cross-check oracle for the fused commit, and the production
+        path for non-Blake2s Merkle flavors (Poseidon252)."""
         FriProver._validate_columns(columns)
-        first_layer = FriFirstLayerProver(columns)
+        first_layer = FriFirstLayerProver(columns, merkle_ops=merkle_ops)
         channel.mix_root(first_layer.merkle_tree.root())
         inner_layers, last_eval = FriProver._commit_inner_layers(
-            channel, config, columns, twiddles)
+            channel, config, columns, twiddles, merkle_ops=merkle_ops)
         last_layer_poly = FriProver._commit_last_layer(channel, config, last_eval)
         return FriProver(config, first_layer, inner_layers, last_layer_poly)
 
     @staticmethod
-    def _commit_inner_layers(channel, config, columns, twiddles):
+    def _commit_inner_layers(channel, config, columns, twiddles,
+                             merkle_ops=None):
         def folded_size(se):
             return se.domain.size() >> CIRCLE_TO_LINE_FOLD_STEP
 
@@ -492,7 +505,7 @@ class FriProver:
                 qm31_ops.scalar(folding_alpha)))
         pending = next(col_iter, None)
         while len(layer_eval) > config.last_layer_domain_size():
-            layer = FriInnerLayerProver(layer_eval)
+            layer = FriInnerLayerProver(layer_eval, merkle_ops=merkle_ops)
             channel.mix_root(layer.merkle_tree.root())
             folding_alpha = channel.draw_felt()
             alpha_dev = qm31_ops.scalar(folding_alpha)
@@ -576,11 +589,12 @@ class FriProver:
 
 class FriFirstLayerVerifier:
     def __init__(self, column_bounds, column_commitment_domains, folding_alpha,
-                 proof: FriLayerProof):
+                 proof: FriLayerProof, merkle_ops=None):
         self.column_bounds = column_bounds
         self.column_commitment_domains = column_commitment_domains
         self.folding_alpha = folding_alpha
         self.proof = proof
+        self.merkle_ops = merkle_ops
 
     def verify(self, queries: Queries,
                query_evals_by_column: List[List[QM31]]) -> List[SparseEvaluation]:
@@ -609,7 +623,9 @@ class FriFirstLayerVerifier:
         column_log_sizes = []
         for domain in self.column_commitment_domains:
             column_log_sizes.extend([domain.log_size()] * SECURE_EXTENSION_DEGREE)
-        verifier = MerkleVerifier(self.proof.commitment, column_log_sizes)
+        verifier = MerkleVerifier(
+            self.proof.commitment, column_log_sizes,
+            hasher=self.merkle_ops.hash_node if self.merkle_ops else None)
         try:
             verifier.verify(positions_by_log, decommitted, self.proof.decommitment)
         except MerkleVerificationError:
@@ -620,12 +636,13 @@ class FriFirstLayerVerifier:
 
 class FriInnerLayerVerifier:
     def __init__(self, degree_bound, domain: LineDomain, folding_alpha,
-                 layer_index, proof: FriLayerProof):
+                 layer_index, proof: FriLayerProof, merkle_ops=None):
         self.degree_bound = degree_bound
         self.domain = domain
         self.folding_alpha = folding_alpha
         self.layer_index = layer_index
         self.proof = proof
+        self.merkle_ops = merkle_ops
 
     def verify_and_fold(self, queries: Queries, evals_at_queries: List[QM31]
                         ) -> Tuple[Queries, List[QM31]]:
@@ -645,7 +662,8 @@ class FriInnerLayerVerifier:
                 decommitted.extend(v.to_m31_array())
         verifier = MerkleVerifier(
             self.proof.commitment,
-            [self.domain.log_size()] * SECURE_EXTENSION_DEGREE)
+            [self.domain.log_size()] * SECURE_EXTENSION_DEGREE,
+            hasher=self.merkle_ops.hash_node if self.merkle_ops else None)
         try:
             verifier.verify({self.domain.log_size(): positions}, decommitted,
                             self.proof.decommitment)
@@ -669,7 +687,8 @@ class FriVerifier:
 
     @staticmethod
     def commit(channel, config: FriConfig, proof: FriProof,
-               column_bounds: List[CirclePolyDegreeBound]) -> "FriVerifier":
+               column_bounds: List[CirclePolyDegreeBound],
+               merkle_ops=None) -> "FriVerifier":
         for i in range(len(column_bounds) - 1):
             if (column_bounds[i].log_degree_bound
                     < column_bounds[i + 1].log_degree_bound):
@@ -683,7 +702,7 @@ class FriVerifier:
         ]
         first_layer = FriFirstLayerVerifier(
             column_bounds, column_commitment_domains, channel.draw_felt(),
-            proof.first_layer)
+            proof.first_layer, merkle_ops=merkle_ops)
         inner_layers = []
         layer_bound = max_bound.fold_to_line()
         layer_domain = LineDomain.new(
@@ -692,7 +711,8 @@ class FriVerifier:
         for i, layer_proof in enumerate(proof.inner_layers):
             channel.mix_root(layer_proof.commitment)
             inner_layers.append(FriInnerLayerVerifier(
-                layer_bound, layer_domain, channel.draw_felt(), i, layer_proof))
+                layer_bound, layer_domain, channel.draw_felt(), i, layer_proof,
+                merkle_ops=merkle_ops))
             folded = layer_bound.fold(FOLD_STEP)
             if folded is None:
                 raise FriVerificationError(

@@ -49,7 +49,7 @@ def _axis_butterfly(x: jnp.ndarray, layer: int, twiddles: jnp.ndarray,
 
 def make_sharded_fft(mesh: Mesh, log_n: int, line_twiddles: Sequence,
                      circle_twiddles, inverse: bool = False,
-                     axis_name: str = "chips", leading_dims: int = 0,
+                     axis_name=None, leading_dims: int = 0,
                      jit: bool = True):
     """Build a jitted sharded (i)CFFT for size 2^log_n over `mesh`.
 
@@ -58,6 +58,10 @@ def make_sharded_fft(mesh: Mesh, log_n: int, line_twiddles: Sequence,
     the 1/N scale).  `leading_dims` replicated batch axes may precede the
     point axis.
     """
+    from .mesh import point_axes
+
+    if axis_name is None:
+        axis_name = point_axes(mesh)
     d = mesh.devices.size
     k = d.bit_length() - 1
     if (1 << k) != d:
@@ -118,7 +122,11 @@ def make_sharded_fft(mesh: Mesh, log_n: int, line_twiddles: Sequence,
     return jax.jit(run) if jit else run
 
 
-def shard_column(values, mesh: Mesh, axis_name: str = "chips"):
+def shard_column(values, mesh: Mesh, axis_name=None):
+    from .mesh import point_axes
+
+    if axis_name is None:
+        axis_name = point_axes(mesh)
     spec = [None] * (values.ndim - 1) + [axis_name]
     return jax.device_put(values, NamedSharding(mesh, P(*spec)))
 
@@ -136,7 +144,7 @@ def _mesh_key(mesh: Mesh):
 
 
 def _get_sharded_fft(mesh: Mesh, log_n: int, tree, inverse: bool,
-                     leading_dims: int, axis_name: str):
+                     leading_dims: int, axis_name):
     from ..poly.twiddles import circle_layer_twiddles, domain_line_twiddles
 
     key = (_mesh_key(mesh), log_n, inverse, leading_dims, axis_name)
@@ -157,7 +165,7 @@ def sharded_fft_applicable(mesh: Mesh, log_n: int) -> bool:
 
 
 def evaluate_values_sharded(coeffs, domain, tree, mesh: Mesh,
-                            axis_name: str = "chips"):
+                            axis_name=None):
     """CFFT-evaluate point-sharded coefficient array(s) on `domain` via the
     explicit all-to-all factorization; falls back to the single-device
     kernel on sharded inputs (GSPMD partitioning) when the domain is too
@@ -171,21 +179,33 @@ def evaluate_values_sharded(coeffs, domain, tree, mesh: Mesh,
     if coeffs.shape[-1] < n:
         pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, n - coeffs.shape[-1])]
         coeffs = jnp.pad(coeffs, pad)
+    from .mesh import point_axes
+
+    if axis_name is None:
+        axis_name = point_axes(mesh)
     coeffs = shard_column(coeffs, mesh, axis_name)
     if not sharded_fft_applicable(mesh, log) or log < 3:
         return evaluate_values(coeffs, domain, tree)
-    fn = _get_sharded_fft(mesh, log, tree, False, coeffs.ndim - 1, axis_name)
+    fn = _get_sharded_fft(mesh, log, tree, False, coeffs.ndim - 1,
+                          axis_name if isinstance(axis_name, str)
+                          else tuple(axis_name))
     return fn(coeffs)
 
 
 def interpolate_values_sharded(values, domain, tree, mesh: Mesh,
-                               axis_name: str = "chips"):
+                               axis_name=None):
     """Inverse CFFT (including 1/N) on point-sharded evaluations."""
     from ..poly.circle_poly import interpolate_values
 
     log = domain.log_size()
+    from .mesh import point_axes
+
+    if axis_name is None:
+        axis_name = point_axes(mesh)
     values = shard_column(values, mesh, axis_name)
     if not sharded_fft_applicable(mesh, log) or log < 3:
         return interpolate_values(values, domain, tree)
-    fn = _get_sharded_fft(mesh, log, tree, True, values.ndim - 1, axis_name)
+    fn = _get_sharded_fft(mesh, log, tree, True, values.ndim - 1,
+                          axis_name if isinstance(axis_name, str)
+                          else tuple(axis_name))
     return fn(values)

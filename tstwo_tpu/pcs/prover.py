@@ -64,7 +64,7 @@ class CommitmentTreeProver:
     """
 
     def __init__(self, polynomials: List[CirclePoly], log_blowup_factor: int,
-                 channel, twiddles: TwiddleTree, mesh=None):
+                 channel, twiddles: TwiddleTree, mesh=None, merkle_ops=None):
         from ..circle import CanonicCoset
 
         self.polynomials = polynomials
@@ -90,7 +90,9 @@ class CommitmentTreeProver:
                 for k, i in enumerate(idxs):
                     self.evaluations[i] = CircleEvaluation(domain, ext[k])
         with span("merkle"):
-            self.commitment = MerkleProver.commit(
+            from ..vcs.ops import Blake2sMerkleOps
+
+            self.commitment = (merkle_ops or Blake2sMerkleOps).commit(
                 [ev.values for ev in self.evaluations])
         channel.mix_root(self.commitment.root())
 
@@ -148,16 +150,18 @@ class CommitmentSchemeProver:
     GSPMD.  All field math is exact uint32, so the proof bytes are
     bit-identical to the single-device path (tested)."""
 
-    def __init__(self, config: PcsConfig, twiddles: TwiddleTree, mesh=None):
+    def __init__(self, config: PcsConfig, twiddles: TwiddleTree, mesh=None,
+                 merkle_ops=None):
         self.config = config
         self.twiddles = twiddles
         self.mesh = mesh
+        self.merkle_ops = merkle_ops
         self.trees: TreeVec = TreeVec()
 
     def _commit(self, polynomials: List[CirclePoly], channel) -> None:
         self.trees.append(CommitmentTreeProver(
             polynomials, self.config.fri_config.log_blowup_factor, channel,
-            self.twiddles, mesh=self.mesh))
+            self.twiddles, mesh=self.mesh, merkle_ops=self.merkle_ops))
 
     def tree_builder(self) -> TreeBuilder:
         return TreeBuilder(self, len(self.trees))
@@ -227,7 +231,8 @@ class CommitmentSchemeProver:
         # 3. FRI commitment phase.
         with span("fri_commit"):
             fri_prover = FriProver.commit(
-                channel, self.config.fri_config, quotients, self.twiddles)
+                channel, self.config.fri_config, quotients, self.twiddles,
+                merkle_ops=self.merkle_ops)
 
         # 4. Proof of work.
         with span("grind"):

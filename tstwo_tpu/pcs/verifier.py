@@ -20,8 +20,9 @@ class VerificationError(Exception):
 
 
 class CommitmentSchemeVerifier:
-    def __init__(self, config: PcsConfig):
+    def __init__(self, config: PcsConfig, merkle_ops=None):
         self.config = config
+        self.merkle_ops = merkle_ops
         self.trees: TreeVec = TreeVec()
 
     def column_log_sizes(self) -> TreeVec:
@@ -33,7 +34,9 @@ class CommitmentSchemeVerifier:
         channel.mix_root(commitment)
         extended = [ls + self.config.fri_config.log_blowup_factor
                     for ls in log_sizes]
-        self.trees.append(MerkleVerifier(commitment, extended))
+        self.trees.append(MerkleVerifier(
+            commitment, extended,
+            hasher=self.merkle_ops.hash_node if self.merkle_ops else None))
 
     def verify_values(self, sampled_points: TreeVec, proof, channel) -> None:
         """reference pcs/verifier.ts:58-127 (embedded Rust verify_values)."""
@@ -49,7 +52,8 @@ class CommitmentSchemeVerifier:
 
         # FRI commitment phase.
         fri_verifier = FriVerifier.commit(
-            channel, self.config.fri_config, proof.fri_proof, bounds)
+            channel, self.config.fri_config, proof.fri_proof, bounds,
+            merkle_ops=self.merkle_ops)
 
         # Proof of work.
         channel.mix_u64(proof.proof_of_work)

@@ -78,7 +78,8 @@ def grind_device(channel: Blake2sChannel, pow_bits: int,
         start += batch
 
 
-def grind(channel: Blake2sChannel, pow_bits: int, use_device: bool = True) -> int:
-    if use_device and pow_bits >= 12:
+def grind(channel, pow_bits: int, use_device: bool = True) -> int:
+    if (use_device and pow_bits >= 12
+            and isinstance(channel, Blake2sChannel)):
         return grind_device(channel, pow_bits)
     return grind_host(channel, pow_bits)

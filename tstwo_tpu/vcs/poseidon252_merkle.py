@@ -141,42 +141,84 @@ class Poseidon252MerkleProver:
                 pos.limb_array_to_ints(np.asarray(self.layers[0][0]))[0])
         return self._root
 
+    def root_deferred(self, batch):
+        """Defer the root fetch into `batch`; returns a thunk yielding the
+        FieldElement252 root after materialize() (same protocol as
+        MerkleProver.root_deferred)."""
+        from ..ops import poseidon252 as pos
+
+        if self._root is not None:
+            root = self._root
+            return lambda: root
+        handle = batch.defer(self.layers[0][0])
+
+        def get() -> FieldElement252:
+            if self._root is None:
+                self._root = FieldElement252(
+                    pos.limb_array_to_ints(handle.get()[None, :])[0])
+            return self._root
+
+        return get
+
     def decommit(self, queries_per_log_size, columns):
         """Witness assembly; shares the index-only plan with the Blake2s
         prover, gathers hashes/values per layer with one device take each."""
+        from ..utils import FetchBatch
+
+        batch = FetchBatch()
+        finish = self.decommit_deferred(queries_per_log_size, columns, batch)
+        batch.materialize()
+        return finish()
+
+    def decommit_deferred(self, queries_per_log_size, columns, batch):
+        """Plan all witness gathers into `batch` (one device->host transfer
+        shared with every other tree/FRI layer); finish() assembles the
+        (queried_values, MerkleDecommitment) pair after materialize()."""
         from ..ops import poseidon252 as pos
         from .prover import MerkleDecommitment, plan_decommitment
 
         layer_plans = plan_decommitment(queries_per_log_size,
                                         len(self.layers), columns)
-        queried: list = []
-        dec = MerkleDecommitment()
+        deferred = []
         for plan in layer_plans:
             log = plan["log"]
-            hashes = None
+            hash_handle = None
             if plan["hash_idxs"]:
                 idx = jnp.asarray(np.array(plan["hash_idxs"], dtype=np.int64))
-                gathered = np.asarray(
+                hash_handle = batch.defer(
                     jnp.take(self.layers[log + 1], idx, axis=0))
-                hashes = [FieldElement252(v) for v in
-                          pos.limb_array_to_ints(gathered)]
-            values = []
+            value_handle = None
             if plan["node_idxs"] and plan["cols"]:
                 idx = jnp.asarray(np.array(plan["node_idxs"], dtype=np.int64))
                 stacked = (plan["cols"][0][None, :]
                            if len(plan["cols"]) == 1
                            else jnp.stack(plan["cols"]))
-                g = np.asarray(jnp.take(stacked, idx, axis=-1))
-                values = [g[k] for k in range(g.shape[0])]
-            hi = 0
-            for si, (node, witness_children, was_queried) in enumerate(
-                    plan["steps"]):
-                for _ in witness_children:
-                    dec.hash_witness.append(hashes[hi])
-                    hi += 1
-                node_values = [M31(int(vals[si])) for vals in values]
-                if was_queried:
-                    queried.extend(node_values)
-                else:
-                    dec.column_witness.extend(node_values)
-        return queried, dec
+                value_handle = batch.defer(jnp.take(stacked, idx, axis=-1))
+            deferred.append((plan, hash_handle, value_handle))
+
+        def finish():
+            queried: list = []
+            dec = MerkleDecommitment()
+            for plan, hash_handle, value_handle in deferred:
+                hashes = None
+                if hash_handle is not None:
+                    hashes = [FieldElement252(v) for v in
+                              pos.limb_array_to_ints(hash_handle.get())]
+                values = []
+                if value_handle is not None:
+                    g = value_handle.get()
+                    values = [g[k] for k in range(g.shape[0])]
+                hi = 0
+                for si, (node, witness_children, was_queried) in enumerate(
+                        plan["steps"]):
+                    for _ in witness_children:
+                        dec.hash_witness.append(hashes[hi])
+                        hi += 1
+                    node_values = [M31(int(vals[si])) for vals in values]
+                    if was_queried:
+                        queried.extend(node_values)
+                    else:
+                        dec.column_witness.extend(node_values)
+            return queried, dec
+
+        return finish
