@@ -141,3 +141,28 @@ def test_pallas_fft_large_roundtrip():
                                  chunk_log=chunk_log, inverse=True,
                                  interpret=True)
     assert np.array_equal(np.asarray(back), np.asarray(vals))
+
+
+@pytest.mark.parametrize("batch", [2, 4])
+def test_pallas_fft_large_batched_matches_jnp(batch):
+    """The native batch grid axis must be bit-identical to per-column."""
+    log_n, chunk_log = 15, 14
+    line, circ, _, _ = _twiddles_for(log_n)
+    rng = np.random.default_rng(batch + 600)
+    vals = jnp.asarray(rng.integers(0, P, size=(batch, 1 << log_n),
+                                    dtype=np.uint32))
+    got = np.asarray(fft_kernels.fft_large(vals, tuple(line), circ, log_n,
+                                           chunk_log=chunk_log,
+                                           interpret=True))
+    for b in range(batch):
+        want = np.asarray(fft_ops.fft_natural_to_bitrev(vals[b], line, circ))
+        assert np.array_equal(got[b], want)
+
+
+def test_pallas_fft_large_layout_cache_hits():
+    from tstwo_tpu.ops.pallas.fft_kernels import _LAYOUT_CACHE, cached_layouts
+    log_n = 15
+    line, circ, _, _ = _twiddles_for(log_n)
+    l1 = cached_layouts(tuple(line), circ, log_n, 14)
+    l2 = cached_layouts(tuple(line), circ, log_n, 14)
+    assert l1 is l2  # second call must be a cache hit (same arrays)

@@ -363,7 +363,7 @@ def _fused_fri_commit(digest, n_sent, columns, y_itws, itws, last_size: int):
     coord_cols = [c[i] for c in columns for i in range(4)]
     coord_cols.sort(key=lambda c: -c.shape[-1])
     first_tree = merkle(coord_cols)
-    digest, n_sent = device_channel.mix_root(digest, first_tree[0][0])
+    digest, n_sent = device_channel.mix_root(digest, first_tree[0][:, 0])
     n_sent, alpha = device_channel.draw_felt(digest, n_sent)
 
     layer_vals = fri_ops.fold_circle_into_line(
@@ -377,7 +377,7 @@ def _fused_fri_commit(digest, n_sent, columns, y_itws, itws, last_size: int):
         tree = merkle([layer_vals[i] for i in range(4)])
         inner_trees.append(tree)
         inner_vals.append(layer_vals)
-        digest, n_sent = device_channel.mix_root(digest, tree[0][0])
+        digest, n_sent = device_channel.mix_root(digest, tree[0][:, 0])
         n_sent, alpha = device_channel.draw_felt(digest, n_sent)
         layer_vals = fri_ops.fold_line(layer_vals, itws[itw_i], alpha)
         itw_i += 1

@@ -127,6 +127,142 @@ def compress(h, m, t, is_final):
     return jnp.stack(out, axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Word-major API: batch on the MINOR axis, message words on the leading axis.
+#
+# The word-minor [N, n_words] layout above puts the 8/16 state words on the
+# 128-lane axis (wasting 112+ lanes and forcing relayouts when XLA slices
+# them); word-major [n_words, N] keeps every state word a full-width [N]
+# array, so the whole compress is pure elementwise VPU work.  On TPU the
+# compress runs as a Pallas kernel (grid over batch strips, message block in
+# VMEM, ~16 live vregs) -- measured 4.4x the XLA-fused path at 2^21 messages
+# (570 vs 129 Mhash/s, scripts/measure_blake2s_pallas.py).
+# ---------------------------------------------------------------------------
+
+
+def _compress_rows(h, m, t, is_final, unroll=True):
+    """One block compress on word-major state.
+
+    h: list of 8 same-shape arrays; m: list of 16 message-word arrays;
+    returns the 8 output words (list).  unroll=False runs the 10 rounds
+    under lax.fori_loop (~10x smaller traced graph; required for small
+    batches -- an unrolled compress inside lax.scan sends the XLA:CPU
+    compiler into a multi-minute loop-optimization pathology).
+    """
+    shp = h[0].shape
+    v = list(h) + [jnp.broadcast_to(jnp.uint32(IV[i]), shp) for i in range(8)]
+    v[12] = v[12] ^ jnp.uint32(t & 0xFFFFFFFF)
+    v[13] = v[13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF)
+    if is_final:
+        v[14] = v[14] ^ jnp.uint32(0xFFFFFFFF)
+    if unroll:
+        for r in range(10):
+            s = SIGMA[r]
+            _g(v, 0, 4, 8, 12, m[s[0]], m[s[1]])
+            _g(v, 1, 5, 9, 13, m[s[2]], m[s[3]])
+            _g(v, 2, 6, 10, 14, m[s[4]], m[s[5]])
+            _g(v, 3, 7, 11, 15, m[s[6]], m[s[7]])
+            _g(v, 0, 5, 10, 15, m[s[8]], m[s[9]])
+            _g(v, 1, 6, 11, 12, m[s[10]], m[s[11]])
+            _g(v, 2, 7, 8, 13, m[s[12]], m[s[13]])
+            _g(v, 3, 4, 9, 14, m[s[14]], m[s[15]])
+        return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+
+    mw = jnp.stack(m)  # [16, ...]; word index is the leading axis
+    sigma = jnp.asarray(_SIGMA_ARR)
+
+    def round_body(r, carry):
+        v = list(carry)
+        s = sigma[r]
+        ms = [mw[s[i]] for i in range(16)]
+        _g(v, 0, 4, 8, 12, ms[0], ms[1])
+        _g(v, 1, 5, 9, 13, ms[2], ms[3])
+        _g(v, 2, 6, 10, 14, ms[4], ms[5])
+        _g(v, 3, 7, 11, 15, ms[6], ms[7])
+        _g(v, 0, 5, 10, 15, ms[8], ms[9])
+        _g(v, 1, 6, 11, 12, ms[10], ms[11])
+        _g(v, 2, 7, 8, 13, ms[12], ms[13])
+        _g(v, 3, 4, 9, 14, ms[14], ms[15])
+        return tuple(v)
+
+    v = list(jax.lax.fori_loop(0, 10, round_body, tuple(v)))
+    return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+
+
+def _wm_kernel(m_ref, out_ref, *, n_blocks, byte_len):
+    h = [jnp.broadcast_to(jnp.uint32(H0[i]), m_ref.shape[1:])
+         for i in range(8)]
+    for b in range(n_blocks):
+        final = b == n_blocks - 1
+        t = byte_len if final else (b + 1) * 64
+        h = _compress_rows(h, [m_ref[16 * b + i] for i in range(16)], t,
+                           final)
+    for i in range(8):
+        out_ref[i] = h[i]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+@partial(jax.jit, static_argnames=("byte_len",))
+def _hash_words_major_pallas(words: jnp.ndarray, byte_len: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    total, n = words.shape
+    n_blocks = total // 16
+    r = n // 128
+    rows = min(64, r)
+    while total * rows * 128 * 4 > (4 << 20) and rows > 8:
+        rows //= 2
+    m3 = words.reshape(total, r, 128)
+    out = pl.pallas_call(
+        partial(_wm_kernel, n_blocks=n_blocks, byte_len=byte_len),
+        out_shape=jax.ShapeDtypeStruct((8, r, 128), jnp.uint32),
+        grid=(r // rows,),
+        in_specs=[pl.BlockSpec((total, rows, 128), lambda g: (0, g, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, rows, 128), lambda g: (0, g, 0),
+                               memory_space=pltpu.VMEM),
+    )(m3)
+    return out.reshape(8, n)
+
+
+@partial(jax.jit, static_argnames=("byte_len",))
+def _hash_words_major_xla(words: jnp.ndarray, byte_len: int):
+    total, n = words.shape
+    n_blocks = total // 16
+    unroll = n >= (1 << 15)
+    h = [jnp.broadcast_to(jnp.uint32(H0[i]), (n,)) for i in range(8)]
+    for b in range(n_blocks):
+        final = b == n_blocks - 1
+        t = byte_len if final else (b + 1) * 64
+        h = _compress_rows(h, [words[16 * b + i] for i in range(16)], t,
+                           final, unroll=unroll)
+    return jnp.stack(h)
+
+
+def hash_words_major(words: jnp.ndarray, byte_len: int) -> jnp.ndarray:
+    """blake2s-256 of N messages given word-major as u32[W, N] LE words.
+
+    W*4 >= byte_len (extra words must be zero).  Returns uint32[8, N]
+    digest words.  Dispatches to the Pallas kernel for large batches on
+    TPU, XLA elsewhere; both paths are bit-identical.
+    """
+    w, n = words.shape
+    n_blocks = max(1, -(-byte_len // 64))
+    total = n_blocks * 16
+    if w < total:
+        words = jnp.pad(words, ((0, total - w), (0, 0)))
+    if n >= 2048 and n % 128 == 0 and _on_tpu():
+        return _hash_words_major_pallas(words, byte_len)
+    return _hash_words_major_xla(words, byte_len)
+
+
 @partial(jax.jit, static_argnames=("byte_len",))
 def hash_u32_batch(words: jnp.ndarray, byte_len: int) -> jnp.ndarray:
     """blake2s-256 of N identical-length messages given as u32 LE words.

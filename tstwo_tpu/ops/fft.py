@@ -15,6 +15,7 @@ multiple layers per HBM round-trip.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Sequence
 
 import jax
@@ -156,21 +157,21 @@ def _fft_small(values, line_twiddles, circle_twiddles, inverse):
 
 
 # Pallas dispatch window (measured on TPU v5e, scripts/measure_fft_large.py;
-# see PERF.md): the two-stage blocked kernel beats the per-layer XLA path
-# only for single large columns -- 1109 vs 981 Mpts/s at 2^22 and 2478 vs
-# 1513 Mpts/s at 2^24.  Batched stacks and smaller sizes stay on the jnp
-# path, which XLA streams better (e.g. 1073 vs 587 Mpts/s at 2^20 x4).
-PALLAS_MIN_LOG = 22
+# see PERF.md): the two-stage blocked kernel with the native batch grid axis
+# beats the per-layer XLA path for 1-D and stacked columns >= 2^20 total.
+PALLAS_MIN_LOG = 20
 _FFT_KERNEL_ENV = "TSTWO_FFT_KERNEL"  # auto (default) | jnp | pallas
 
 
-def _use_pallas(n_log: int, ndim: int) -> bool:
+def _use_pallas(n_log: int, total_log2_hint: int) -> bool:
+    """total_log2_hint: log2 of total elements (batch * n)."""
     import os
 
     mode = os.environ.get(_FFT_KERNEL_ENV, "auto")
     if mode == "jnp":
         return False
-    if ndim != 1 or n_log < (PALLAS_MIN_LOG if mode != "pallas" else 15):
+    min_log = PALLAS_MIN_LOG if mode != "pallas" else 15
+    if n_log < 15 or total_log2_hint < min_log:
         return False
     try:
         platform = jax.devices()[0].platform
@@ -179,36 +180,50 @@ def _use_pallas(n_log: int, ndim: int) -> bool:
     return platform in ("tpu", "axon") or mode == "pallas"
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("n_log", "inverse"))
+def _fft_dispatch_jnp(values, line_twiddles, circle_twiddles, n_log: int,
+                      inverse: bool):
+    if n_log > LANE_LOG + 1:
+        if values.ndim == 1:
+            return _fft_matrix(values, line_twiddles, circle_twiddles,
+                               n_log, inverse=inverse)
+        lead = values.shape[:-1]
+        flat = values.reshape(-1, values.shape[-1])
+        out = jax.vmap(
+            lambda v: _fft_matrix(v, line_twiddles, circle_twiddles, n_log,
+                                  inverse=inverse))(flat)
+        return out.reshape(*lead, values.shape[-1])
+    return _fft_small(values, line_twiddles, circle_twiddles, inverse=inverse)
+
+
+def _batch_log2(values) -> int:
+    total = 1
+    for d in values.shape:
+        total *= int(d)
+    return int(total - 1).bit_length()
+
+
 def fft_natural_to_bitrev(values: jnp.ndarray,
                           line_twiddles: Sequence[jnp.ndarray],
                           circle_twiddles: jnp.ndarray) -> jnp.ndarray:
     """Forward CFFT: coefficients (natural) -> evaluations (bit-reversed).
 
     (reference backend/cpu/circle.ts:115-121 layer order; two-stage blocked
-    Pallas kernel for large 1-D columns on TPU, matrix-view fast path for
-    other large shapes, generic layered path otherwise.)
+    Pallas kernel with native batch grid for large columns on TPU,
+    matrix-view fast path for other large shapes, generic layered path
+    otherwise.)  Eager dispatcher: the Pallas path caches its prepared
+    twiddle layouts per TwiddleTree across calls.
     """
     n_log = len(line_twiddles) + 1
-    if _use_pallas(n_log, values.ndim):
+    if _use_pallas(n_log, _batch_log2(values)):
         from .pallas.fft_kernels import fft_large
 
         return fft_large(values, tuple(line_twiddles), circle_twiddles,
                          n_log, chunk_log=min(16, n_log - 1))
-    if n_log > LANE_LOG + 1:
-        if values.ndim == 1:
-            return _fft_matrix(values, line_twiddles, circle_twiddles,
-                               n_log, inverse=False)
-        lead = values.shape[:-1]
-        flat = values.reshape(-1, values.shape[-1])
-        out = jax.vmap(
-            lambda v: _fft_matrix(v, line_twiddles, circle_twiddles, n_log,
-                                  inverse=False))(flat)
-        return out.reshape(*lead, values.shape[-1])
-    return _fft_small(values, line_twiddles, circle_twiddles, inverse=False)
+    return _fft_dispatch_jnp(values, tuple(line_twiddles), circle_twiddles,
+                             n_log, False)
 
 
-@jax.jit
 def ifft_bitrev_to_natural(values: jnp.ndarray,
                            line_itwiddles: Sequence[jnp.ndarray],
                            circle_itwiddles: jnp.ndarray) -> jnp.ndarray:
@@ -217,23 +232,14 @@ def ifft_bitrev_to_natural(values: jnp.ndarray,
     (reference backend/cpu/circle.ts:186-199)
     """
     n_log = len(line_itwiddles) + 1
-    if _use_pallas(n_log, values.ndim):
+    if _use_pallas(n_log, _batch_log2(values)):
         from .pallas.fft_kernels import fft_large
 
         return fft_large(values, tuple(line_itwiddles), circle_itwiddles,
                          n_log, chunk_log=min(16, n_log - 1), inverse=True,
                          scale_n_inv=False)
-    if n_log > LANE_LOG + 1:
-        if values.ndim == 1:
-            return _fft_matrix(values, line_itwiddles, circle_itwiddles,
-                               n_log, inverse=True)
-        lead = values.shape[:-1]
-        flat = values.reshape(-1, values.shape[-1])
-        out = jax.vmap(
-            lambda v: _fft_matrix(v, line_itwiddles, circle_itwiddles,
-                                  n_log, inverse=True))(flat)
-        return out.reshape(*lead, values.shape[-1])
-    return _fft_small(values, line_itwiddles, circle_itwiddles, inverse=True)
+    return _fft_dispatch_jnp(values, tuple(line_itwiddles), circle_itwiddles,
+                             n_log, True)
 
 
 def fold(values: jnp.ndarray, factors, mul_fn, add_fn) -> jnp.ndarray:

@@ -1,11 +1,10 @@
-"""Pallas fused circle-FFT kernel: the whole transform in one VMEM
-residency.
+"""Pallas fused circle-FFT kernels.
 
 The XLA path executes one butterfly layer per fused elementwise kernel --
-~2*log2(N) HBM passes.  This kernel loads values + twiddles once and
-applies every layer before writing back.
+~2*log2(N) HBM passes.  These kernels load values + twiddles once per grid
+pass and apply many layers per HBM round-trip.
 
-Mosaic cannot relayout across the 128-lane axis, so the kernel works on
+Mosaic cannot relayout across the 128-lane axis, so the kernels work on
 the matrix view V[R, 128] (natural index i = r*128 + c):
 
   * layers with stride >= 128 pair ROWS -- leading-axis reshapes only;
@@ -19,11 +18,20 @@ the matrix view V[R, 128] (natural index i = r*128 + c):
 This mirrors the reference SIMD backend's vecwise/transpose split
 (backend/simd/fft/rfft.ts:36-67, simd/fft/index.ts:39-66) mapped onto the
 (8,128) vreg geometry.
+
+Two entry points:
+  * fft_fused  -- whole transform in one VMEM residency (n_log <= ~16).
+  * fft_large  -- two grid passes (high-stride layers / in-chunk layers),
+    with a NATIVE batch grid axis (a stacked [B, N] sweep runs as a B-wide
+    grid dimension -- vmap-over-pallas serializes, measured 0.55x XLA in
+    round 2) and host-cached twiddle layouts (`prepare_layouts`), so the
+    per-call cost is exactly 2 read+write passes over the data plus ~N
+    twiddle-words of reads.
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
+from typing import Dict, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -154,7 +162,7 @@ def fft_fused(values: jnp.ndarray, line_twiddles: Sequence[jnp.ndarray],
 # View the column as V[n1, r2, 128] (natural index i = r1*n2 + j*128 + c,
 # n2 = r2*128).  Layers with stride >= n2 pair elements at the same (j, c)
 # across r1 -- their twiddle index i >> (l+1) depends only on r1, so stage 1
-# runs a grid over j: each program holds one [n1, 128] strip in VMEM and
+# runs a grid over j: each program holds one [n1, 8, 128] strip in VMEM and
 # applies ALL high layers.  The remaining layers live inside one row r1:
 # stage 2 runs a grid over r1, each program holding one [r2, 128] chunk and
 # applying the in-chunk layers exactly like fft_fused (row layers, one
@@ -178,32 +186,72 @@ def _pad8(a: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.pad(a, widths)
 
 
-def _stage2_twiddles(line_twiddles, circle_twiddles, n_log: int,
-                     chunk_log: int):
-    """Per-row twiddle tables for the in-chunk layers, host-precomputed.
+class FftLayouts(NamedTuple):
+    """Kernel-shaped twiddle tables for fft_large, host-precomputable.
 
-    Each table is [n1, pad8(groups), lanes] so a (1, pad8(groups), lanes)
-    BlockSpec slices row r1's twiddles with tile-aligned last dims:
-      * chunk row layers (stride >= 128): value broadcast across 128 lanes;
-      * chunk lane layers + circle layer (applied on the transposed view):
-        the [groups, r2] transposed matrices of fft_fused.
+    stage1:     per high layer (stride >= chunk): [G, 1, 1, 1] values.
+    chunk_high: per in-chunk row layer: COMPACT [n1, pad8(G), 1] values --
+                broadcast to the 128 lanes inside the kernel instead of
+                materializing the x128 copy in HBM (at 2^24/chunk 2^16 the
+                broadcast tables were ~67 MB of pure HBM traffic per call).
+    chunk_low:  per in-chunk lane layer (on the transposed view):
+                [n1, pad8(G), r2] transposed matrices (true twiddle data).
+    circ:       [n1, 64, r2] circle-layer matrix, transposed view.
     """
+
+    stage1: Tuple[jnp.ndarray, ...]
+    chunk_high: Tuple[jnp.ndarray, ...]
+    chunk_low: Tuple[jnp.ndarray, ...]
+    circ: jnp.ndarray
+
+
+def prepare_layouts(line_twiddles: Sequence[jnp.ndarray],
+                    circle_twiddles: jnp.ndarray, n_log: int,
+                    chunk_log: int) -> FftLayouts:
     n1 = 1 << (n_log - chunk_log)
     r2 = 1 << (chunk_log - LANE_LOG)
-    chunk_high = [
-        _pad8(jnp.broadcast_to(
-            line_twiddles[l - 1].reshape(n1, -1, 1),
-            (n1, 1 << (chunk_log - 1 - l), 128)), 1)
-        for l in range(chunk_log - 1, LANE_LOG - 1, -1)
-    ]
-    chunk_low = [
+    stage1 = tuple(line_twiddles[l - 1].reshape(-1, 1, 1, 1)
+                   for l in range(n_log - 1, chunk_log - 1, -1))
+    chunk_high = tuple(
+        _pad8(line_twiddles[l - 1].reshape(n1, -1, 1), 1)
+        for l in range(chunk_log - 1, LANE_LOG - 1, -1))
+    chunk_low = tuple(
         _pad8(line_twiddles[l - 1].reshape(n1, r2, 1 << (LANE_LOG - 1 - l))
               .transpose(0, 2, 1), 1)
-        for l in range(LANE_LOG - 1, 0, -1)
-    ]
+        for l in range(LANE_LOG - 1, 0, -1))
     circ = (circle_twiddles.reshape(n1, r2, 1 << (LANE_LOG - 1))
             .transpose(0, 2, 1))
-    return chunk_high, chunk_low, circ
+    return FftLayouts(stage1, chunk_high, chunk_low, circ)
+
+
+# Host cache of prepared layouts keyed by twiddle-array identity (stable:
+# TwiddleTree caches its layer arrays per coset).  The value keeps refs to
+# the source arrays so their ids cannot be recycled.
+_LAYOUT_CACHE: Dict[tuple, tuple] = {}
+
+
+def cached_layouts(line_twiddles, circle_twiddles, n_log: int,
+                   chunk_log: int) -> FftLayouts:
+    if isinstance(circle_twiddles, jax.core.Tracer) or any(
+            isinstance(t, jax.core.Tracer) for t in line_twiddles):
+        return prepare_layouts(line_twiddles, circle_twiddles, n_log,
+                               chunk_log)
+    key = (tuple(id(t) for t in line_twiddles), id(circle_twiddles),
+           n_log, chunk_log)
+    hit = _LAYOUT_CACHE.get(key)
+    if hit is None:
+        layouts = prepare_layouts(line_twiddles, circle_twiddles, n_log,
+                                  chunk_log)
+        if any(isinstance(a, jax.core.Tracer)
+               for a in jax.tree_util.tree_leaves(layouts)):
+            # concrete inputs but an ambient trace (an outer jit closed over
+            # the twiddles): can't cache the traced layouts
+            return layouts
+        layouts = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a).block_until_ready(), layouts)
+        hit = (layouts, (tuple(line_twiddles), circle_twiddles))
+        _LAYOUT_CACHE[key] = hit
+    return hit[0]
 
 
 def _axis0_butterfly(v, stride, t, inverse):
@@ -224,34 +272,16 @@ def _axis0_butterfly(v, stride, t, inverse):
 @partial(jax.jit,
          static_argnames=("n_log", "chunk_log", "inverse", "scale_n_inv",
                           "interpret"))
-def fft_large(values: jnp.ndarray, line_twiddles: Sequence[jnp.ndarray],
-              circle_twiddles: jnp.ndarray, n_log: int,
-              chunk_log: int = 16, inverse: bool = False,
-              scale_n_inv: bool = True,
-              interpret: bool = False) -> jnp.ndarray:
-    """Whole CFFT in two grid passes for 2^n_log values, n_log > chunk_log.
-
-    The inverse includes the 1/N scaling fused into the stage-1 write
-    unless scale_n_inv=False (drop-in for ops.fft.ifft_bitrev_to_natural,
-    which leaves the scaling to the caller).
-    Requires chunk_log >= 14 (stage-2 twiddle tables need r2 = n2/128 to be
-    a multiple of 128 lanes) and n_log > chunk_log.
-    """
+def _fft_large_impl(values3, layouts: FftLayouts, n_log: int, chunk_log: int,
+                    inverse: bool, scale_n_inv: bool, interpret: bool):
+    """values3: u32[B, n1, r2, 128]; returns the same shape."""
+    b, n1, r2, _ = values3.shape
     n = 1 << n_log
-    if values.shape[-1] != n:
-        raise ValueError("size mismatch")
-    if not (LANE_LOG + 7 <= chunk_log < n_log):
-        raise ValueError("need 14 <= chunk_log < n_log")
-    n1 = 1 << (n_log - chunk_log)
-    r2 = 1 << (chunk_log - LANE_LOG)
     n_inv = pow(n, P - 2, P)
-
-    # stage-1 twiddles: layers l in [chunk_log, n_log); twiddle index
-    # = r1 >> (l+1-chunk_log), identical for every program
-    stage1 = [line_twiddles[l - 1].reshape(-1, 1, 1, 1)
-              for l in range(n_log - 1, chunk_log - 1, -1)]
-    chunk_high, chunk_low, circ = _stage2_twiddles(
-        line_twiddles, circle_twiddles, n_log, chunk_log)
+    stage1 = layouts.stage1
+    chunk_high = layouts.chunk_high
+    chunk_low = layouts.chunk_low
+    circ = layouts.circ
     n_s1 = len(stage1)
     n_ch = len(chunk_high)
     n_cl = len(chunk_low)
@@ -259,29 +289,38 @@ def fft_large(values: jnp.ndarray, line_twiddles: Sequence[jnp.ndarray],
     def stage1_body(vals_ref, *rest):
         t_refs = rest[:n_s1]
         out_ref = rest[-1]
-        v = vals_ref[...]  # [n1, 8, 128]
+        v = vals_ref[0]  # [n1, 8, 128]
         if not inverse:
             for i, tref in enumerate(t_refs):
                 l = n_log - 1 - i
                 v = _axis0_butterfly(v, 1 << (l - chunk_log), tref[...],
                                      False)
-            out_ref[...] = v
+            out_ref[0] = v
         else:
             for i, tref in enumerate(reversed(t_refs)):
                 v = _axis0_butterfly(v, 1 << i, tref[...], True)
-            out_ref[...] = _mul(v, jnp.uint32(n_inv)) if scale_n_inv else v
+            out_ref[0] = _mul(v, jnp.uint32(n_inv)) if scale_n_inv else v
 
     def stage2_body(vals_ref, circ_ref, *rest):
         ch_refs = rest[:n_ch]
         cl_refs = rest[n_ch:n_ch + n_cl]
         out_ref = rest[-1]
-        v = vals_ref[0]  # [r2, 128]
+        v = vals_ref[0, 0]  # [r2, 128]
+
+        def row_t(tref, g):
+            # compact [gp, 1] block -> [g, 1, 128]: lane-broadcast here
+            # (Mosaic supports lane-only broadcast), sublane-broadcast
+            # happens implicitly in the butterfly multiply.  This keeps the
+            # x128 twiddle inflation out of HBM entirely.
+            t = tref[0][0:g].reshape(g, 1, 1)
+            return jnp.broadcast_to(t, (g, 1, 128))
+
         if not inverse:
             for i, tref in enumerate(ch_refs):
                 l = chunk_log - 1 - i
                 g = 1 << (chunk_log - 1 - l)
-                v = _row_butterfly(v, 1 << (l - LANE_LOG),
-                                   tref[0][0:g][:, None, :], False)
+                v = _row_butterfly(v, 1 << (l - LANE_LOG), row_t(tref, g),
+                                   False)
             w = v.T  # [128, r2]
             for i, tref in enumerate(cl_refs):
                 l = LANE_LOG - 1 - i
@@ -289,7 +328,7 @@ def fft_large(values: jnp.ndarray, line_twiddles: Sequence[jnp.ndarray],
                 w = _row_butterfly(w, 1 << l,
                                    tref[0][0:g][:, None, :], False)
             w = _row_butterfly(w, 1, circ_ref[0][:, None, :], False)
-            out_ref[...] = w.T.reshape(1, r2, 128)
+            out_ref[0, 0] = w.T
         else:
             w = v.T
             w = _row_butterfly(w, 1, circ_ref[0][:, None, :], True)
@@ -302,47 +341,79 @@ def fft_large(values: jnp.ndarray, line_twiddles: Sequence[jnp.ndarray],
             for i, tref in enumerate(reversed(ch_refs)):
                 l = LANE_LOG + i
                 g = 1 << (chunk_log - 1 - l)
-                v = _row_butterfly(v, 1 << i,
-                                   tref[0][0:g][:, None, :], True)
-            out_ref[...] = v.reshape(1, r2, 128)
+                v = _row_butterfly(v, 1 << i, row_t(tref, g), True)
+            out_ref[0, 0] = v
 
     def run_stage1(v3):
         return pl.pallas_call(
             stage1_body,
-            out_shape=jax.ShapeDtypeStruct((n1, r2, 128), jnp.uint32),
-            grid=(r2 // 8,),
-            in_specs=[pl.BlockSpec((n1, 8, 128), lambda g: (0, g, 0),
+            out_shape=jax.ShapeDtypeStruct((b, n1, r2, 128), jnp.uint32),
+            grid=(b, r2 // 8),
+            in_specs=[pl.BlockSpec((1, n1, 8, 128),
+                                   lambda bi, g: (bi, 0, g, 0),
                                    memory_space=pltpu.VMEM)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_s1,
-            out_specs=pl.BlockSpec((n1, 8, 128), lambda g: (0, g, 0),
+            out_specs=pl.BlockSpec((1, n1, 8, 128),
+                                   lambda bi, g: (bi, 0, g, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(v3, *stage1)
 
     def run_stage2(v3):
         tspecs = (
-            [pl.BlockSpec((1,) + circ.shape[1:], lambda r: (r, 0, 0),
+            [pl.BlockSpec((1,) + circ.shape[1:], lambda bi, r: (r, 0, 0),
                           memory_space=pltpu.VMEM)]
-            + [pl.BlockSpec((1,) + t.shape[1:], lambda r: (r, 0, 0),
+            + [pl.BlockSpec((1,) + t.shape[1:], lambda bi, r: (r, 0, 0),
                             memory_space=pltpu.VMEM)
                for t in chunk_high + chunk_low]
         )
         return pl.pallas_call(
             stage2_body,
-            out_shape=jax.ShapeDtypeStruct((n1, r2, 128), jnp.uint32),
-            grid=(n1,),
-            in_specs=[pl.BlockSpec((1, r2, 128), lambda r: (r, 0, 0),
+            out_shape=jax.ShapeDtypeStruct((b, n1, r2, 128), jnp.uint32),
+            grid=(b, n1),
+            in_specs=[pl.BlockSpec((1, 1, r2, 128),
+                                   lambda bi, r: (bi, r, 0, 0),
                                    memory_space=pltpu.VMEM)] + tspecs,
-            out_specs=pl.BlockSpec((1, r2, 128), lambda r: (r, 0, 0),
+            out_specs=pl.BlockSpec((1, 1, r2, 128),
+                                   lambda bi, r: (bi, r, 0, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(v3, circ, *chunk_high, *chunk_low)
 
-    v3 = values.reshape(n1, r2, 128)
     if not inverse:
-        v3 = run_stage1(v3)
+        v3 = run_stage1(values3)
         v3 = run_stage2(v3)
     else:
-        v3 = run_stage2(v3)
+        v3 = run_stage2(values3)
         v3 = run_stage1(v3)
-    return v3.reshape(n)
+    return v3
+
+
+def fft_large(values: jnp.ndarray, line_twiddles: Sequence[jnp.ndarray],
+              circle_twiddles: jnp.ndarray, n_log: int,
+              chunk_log: int = 16, inverse: bool = False,
+              scale_n_inv: bool = True,
+              interpret: bool = False) -> jnp.ndarray:
+    """Whole CFFT in two grid passes for 2^n_log values, n_log > chunk_log.
+
+    values: u32[..., 2^n_log]; leading axes run as a native batch grid
+    dimension.  The inverse includes the 1/N scaling fused into the stage-1
+    write unless scale_n_inv=False (drop-in for
+    ops.fft.ifft_bitrev_to_natural, which leaves the scaling to the caller).
+    Requires chunk_log >= 14 (stage-2 twiddle tables need r2 = n2/128 to be
+    a multiple of 128 lanes) and n_log > chunk_log.
+    """
+    n = 1 << n_log
+    if values.shape[-1] != n:
+        raise ValueError("size mismatch")
+    if not (LANE_LOG + 7 <= chunk_log < n_log):
+        raise ValueError("need 14 <= chunk_log < n_log")
+    n1 = 1 << (n_log - chunk_log)
+    r2 = 1 << (chunk_log - LANE_LOG)
+    lead = values.shape[:-1]
+    layouts = cached_layouts(line_twiddles, circle_twiddles, n_log,
+                             chunk_log)
+    v3 = values.reshape(-1, n1, r2, 128)
+    out = _fft_large_impl(v3, layouts, n_log, chunk_log, inverse,
+                          scale_n_inv, interpret)
+    return out.reshape(*lead, n)

@@ -42,8 +42,8 @@ from .fft import make_sharded_fft, shard_column
 
 
 class ProveStepOutputs(NamedTuple):
-    trace_root: jnp.ndarray        # uint32[1, 8] digest words
-    composition_root: jnp.ndarray  # uint32[1, 8]
+    trace_root: jnp.ndarray        # uint32[8, 1] digest words (word-major)
+    composition_root: jnp.ndarray  # uint32[8, 1]
     fri_line: jnp.ndarray          # uint32[4, N/2] folded line evaluation
     lambdas: jnp.ndarray           # uint32[2, 4] decompose lambdas
 

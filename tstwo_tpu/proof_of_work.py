@@ -34,19 +34,18 @@ def _grind_batch(digest_words: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
     batch = lo.shape[0]
     words = jnp.concatenate(
         [
-            jnp.broadcast_to(digest_words, (batch, 8)),
-            lo[:, None],
-            hi[:, None],
-            jnp.zeros((batch, 6), dtype=jnp.uint32),
+            jnp.broadcast_to(digest_words[:, None], (8, batch)),
+            lo[None, :],
+            hi[None, :],
         ],
-        axis=1,
+        axis=0,
     )
-    dig = b2.hash_u32_batch(words, byte_len=40)
+    dig = b2.hash_words_major(words, byte_len=40)
     # trailing zeros of the LE u128 formed by digest words d0..d3
     tz = jnp.zeros((batch,), dtype=jnp.uint32)
     carry = jnp.ones((batch,), dtype=jnp.bool_)
     for w in range(4):
-        d = dig[:, w]
+        d = dig[w]
         wtz = _word_tz(d)
         tz = tz + jnp.where(carry, wtz, 0)
         carry = carry & (d == 0)

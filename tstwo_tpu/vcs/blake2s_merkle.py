@@ -31,24 +31,29 @@ def commit_on_layer(log_size: int,
                     columns: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """Hash one Merkle layer on device.
 
-    prev_layer: uint32[2^(log+1), 8] digest words of the child layer (or None
-    at the leaf layer).  columns: base-field columns of length 2^log hashed
-    into this layer.  Returns uint32[2^log, 8], device-resident.
+    prev_layer: uint32[8, 2^(log+1)] digest words (word-major) of the child
+    layer, or None at the leaf layer.  columns: base-field columns of length
+    2^log hashed into this layer.  Returns uint32[8, 2^log], device-resident
+    and word-major (each digest word is a full-width batch row, which keeps
+    the whole compress elementwise on the VPU -- see ops/blake2s.py).
     """
     n = 1 << log_size
     parts: List[jnp.ndarray] = []
     n_words = 0
     if prev_layer is not None:
-        parts.append(jnp.asarray(prev_layer, dtype=jnp.uint32).reshape(n, 16))
+        pairs = jnp.asarray(prev_layer, dtype=jnp.uint32).reshape(8, n, 2)
+        # message = left digest (8 words) || right digest (8 words)
+        parts.append(pairs[:, :, 0])
+        parts.append(pairs[:, :, 1])
         n_words += 16
     if columns:
-        parts.append(jnp.stack([jnp.asarray(c) for c in columns], axis=1))
+        parts.append(jnp.stack([jnp.asarray(c) for c in columns], axis=0))
         n_words += len(columns)
     if parts:
-        words = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        words = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     else:
-        words = jnp.zeros((n, 0), dtype=jnp.uint32)
-    return b2.hash_u32_batch(words, byte_len=4 * n_words)
+        words = jnp.zeros((0, n), dtype=jnp.uint32)
+    return b2.hash_words_major(words, byte_len=4 * n_words)
 
 
 class Blake2sMerkleChannel:

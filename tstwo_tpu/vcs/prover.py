@@ -42,7 +42,7 @@ _SCAN_TOP_LOG = 11  # pure-hash levels at/below this size run under one scan
 
 def _scan_levels(top: jnp.ndarray, s: int):
     """Hash the pure (column-free) levels s-1 .. 0 of a Merkle tree whose
-    level s is `top` (u32[2^s, 8]) with ONE lax.scan.
+    level s is `top` (word-major u32[8, 2^s]) with ONE lax.scan.
 
     Each iteration hashes a fixed-capacity padded buffer (valid prefix
     halves every step; the padding hashes are garbage and ignored), so the
@@ -51,19 +51,21 @@ def _scan_levels(top: jnp.ndarray, s: int):
     traces ~230 distinct tiny compress graphs (minutes of XLA compile time,
     ~1 ms of launch overhead each at runtime).
     """
-    from ..ops.blake2s import hash_u32_batch
+    from ..ops.blake2s import _hash_words_major_xla
 
     cap = 1 << s
 
     def body(buf, _):
-        children = buf.reshape(cap // 2, 16)
-        parents = hash_u32_batch(children, byte_len=64)
+        pairs = buf.reshape(8, cap // 2, 2)
+        msg = jnp.concatenate([pairs[:, :, 0], pairs[:, :, 1]], axis=0)
+        parents = _hash_words_major_xla(msg, 64)
         nxt = jnp.concatenate(
-            [parents, jnp.zeros((cap - cap // 2, 8), dtype=jnp.uint32)])
+            [parents, jnp.zeros((8, cap - cap // 2), dtype=jnp.uint32)],
+            axis=1)
         return nxt, parents
 
     _, ys = jax.lax.scan(body, top, None, length=s)
-    return ys  # ys[i] = level s-1-i (valid prefix 2^(s-1-i))
+    return ys  # ys[i] = level s-1-i (valid prefix 2^(s-1-i), word-major)
 
 
 @partial(jax.jit, static_argnames=("max_log",))
@@ -84,7 +86,7 @@ def _commit_all_layers(max_log: int, cols: tuple):
                 and log + 1 <= _SCAN_TOP_LOG):
             ys = _scan_levels(prev, log + 1)
             for j in range(log, -1, -1):
-                layers[j] = ys[log - j][: 1 << j]
+                layers[j] = ys[log - j][:, : 1 << j]
             break
         prev = _col(log, prev, layer_cols)
         layers[log] = prev
@@ -141,7 +143,7 @@ def plan_decommitment(queries_per_log_size: Mapping[int, Sequence[int]],
 
 class MerkleProver:
     """Multi-column Merkle tree (one commitOnLayer per log size,
-    leaves->root).  Layers are device arrays [2^log, 8]."""
+    leaves->root).  Layers are word-major device arrays [8, 2^log]."""
 
     def __init__(self, layers: List[jnp.ndarray]):
         self.layers = layers
@@ -158,7 +160,8 @@ class MerkleProver:
 
     def root(self) -> bytes:
         if self._root is None:
-            self._root = digest_words_to_bytes(np.asarray(self.layers[0][0]))
+            self._root = digest_words_to_bytes(
+                np.asarray(self.layers[0][:, 0]))
         return self._root
 
     def root_deferred(self, batch):
@@ -166,7 +169,7 @@ class MerkleProver:
         if self._root is not None:
             cached = self._root
             return lambda: cached
-        handle = batch.defer(self.layers[0][0])
+        handle = batch.defer(self.layers[0][:, 0])
         tree = self
 
         def get() -> bytes:
@@ -213,7 +216,7 @@ class MerkleProver:
             if plan["hash_idxs"]:
                 child = self.layers[log + 1]
                 idx = jnp.asarray(np.array(plan["hash_idxs"], dtype=np.int64))
-                plan["_hashes_h"] = batch.defer(jnp.take(child, idx, axis=0))
+                plan["_hashes_h"] = batch.defer(jnp.take(child, idx, axis=1))
             if plan["node_idxs"] and plan["cols"]:
                 idx = jnp.asarray(np.array(plan["node_idxs"], dtype=np.int64))
                 stacked = (plan["cols"][0][None, :] if len(plan["cols"]) == 1
@@ -237,7 +240,7 @@ class MerkleProver:
                         plan["steps"]):
                     for _ in witness_children:
                         dec.hash_witness.append(
-                            digest_words_to_bytes(hashes[hi]))
+                            digest_words_to_bytes(hashes[:, hi]))
                         hi += 1
                     node_values = [M31(int(vals[si])) for vals in values]
                     if was_queried:
