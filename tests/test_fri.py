@@ -195,3 +195,53 @@ def test_fused_commit_matches_host_commit():
     for a, b in zip(proof_f.inner_layers, proof_h.inner_layers):
         assert a.fri_witness == b.fri_witness
         assert a.commitment == b.commitment
+
+
+def test_decompose_semantics_and_first_layer_is_raw():
+    """`decompose` (reference fri.ts:107 FriOps, backend/cpu/fri.ts:133-163)
+    splits a FRI-space eval into an fft-space part g and a remainder lambda:
+    lambda = (sum(first half) - sum(second half)) / N, g = v -/+ lambda.
+
+    The op is part of the backend trait surface but -- exactly like the
+    reference and current Rust stwo -- it has NO call site on the production
+    commit path: FriProver.commit's first layer commits the RAW secure
+    evaluations (reference fri.ts:485 FriFirstLayerProver commits
+    `columns.flatMap(coordinate columns)` without decomposing; the
+    circle->line fold happens after the first alpha is drawn).  This test
+    pins both facts so a future port of older-stwo semantics (which DID
+    decompose before the first commit) fails loudly.
+    """
+    import jax.numpy as jnp
+
+    from tstwo_tpu.ops.fri_ops import decompose
+
+    P = (1 << 31) - 1
+    rng = np.random.default_rng(42)
+    n = 1 << 8
+    vals = rng.integers(0, P, size=(4, n), dtype=np.uint32)
+    g, lam = decompose(jnp.asarray(vals))
+    g = np.asarray(g).astype(np.uint64)
+    lam = np.asarray(lam).astype(np.uint64)
+    # host oracle
+    half = n // 2
+    a = vals[:, :half].astype(np.uint64).sum(axis=1) % P
+    b = vals[:, half:].astype(np.uint64).sum(axis=1) % P
+    n_inv = pow(n, P - 2, P)
+    lam_want = ((a + P - b) % P) * n_inv % P
+    assert np.array_equal(lam, lam_want)
+    want_first = (vals[:, :half].astype(np.uint64) + P - lam_want[:, None]) % P
+    want_second = (vals[:, half:].astype(np.uint64) + lam_want[:, None]) % P
+    assert np.array_equal(g[:, :half], want_first)
+    assert np.array_equal(g[:, half:], want_second)
+
+    # first FRI layer commits the raw evaluations (no decompose)
+    from tstwo_tpu.circle import CanonicCoset
+    from tstwo_tpu.fri import FriFirstLayerProver
+    from tstwo_tpu.poly.circle_poly import SecureEvaluation
+    from tstwo_tpu.vcs import MerkleProver
+
+    domain = CanonicCoset.new(8).circle_domain()
+    se = SecureEvaluation(domain, jnp.asarray(vals))
+    first = FriFirstLayerProver([se])
+    direct = MerkleProver.commit([se.values[i] for i in range(4)])
+    assert first.merkle_tree.root() == direct.root()

@@ -1,0 +1,153 @@
+"""Multi-host distribution tests (SURVEY.md section 2.12.5, BASELINE).
+
+Two layers of coverage, since no real pod is reachable from CI:
+
+1. The production prove over a 2-D (hosts x chips) mesh on the virtual
+   8-device CPU backend -- exercises the hosts-major sharding layout the
+   real pod uses (DCN axis leading, ICI axis trailing) and pins
+   byte-identical proofs.
+
+2. A REAL jax.distributed multi-process run (2 processes x 2 local CPU
+   devices on localhost): the sharded CFFT runs over the global 2x2 mesh
+   with each process holding only its addressable shards -- the actual
+   multi-host code path (jax.distributed.initialize, global meshes,
+   cross-process collectives), not a simulation.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_prove_2d_mesh_bit_equal():
+    """Production prove over a (2 hosts x 4 chips) 2-D mesh == single-device
+    proof, byte for byte."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    from tstwo_tpu.examples.basic_air import prove_basic_air, verify_basic_air
+    from tstwo_tpu.parallel.mesh import make_mesh2d
+    from tstwo_tpu.serialize import proof_to_dict
+
+    mesh = make_mesh2d(2, 4)
+    p_single, comp, cfg = prove_basic_air(log_num_rows=6)
+    p_2d, comp_s, _ = prove_basic_air(log_num_rows=6, mesh=mesh)
+    a = json.dumps(proof_to_dict(p_single), sort_keys=True)
+    b = json.dumps(proof_to_dict(p_2d), sort_keys=True)
+    assert a == b
+    verify_basic_air(p_2d, comp_s, cfg, log_num_rows=6)
+
+
+def test_sharded_fft_2d_mesh_matches():
+    """Explicit all-to-all CFFT over the 2-D mesh == single-device FFT."""
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    import jax.numpy as jnp
+
+    from tstwo_tpu.circle import CanonicCoset
+    from tstwo_tpu.ops import fft as fft_ops
+    from tstwo_tpu.parallel.fft import make_sharded_fft, shard_column
+    from tstwo_tpu.parallel.mesh import make_mesh2d
+    from tstwo_tpu.poly.twiddles import (circle_layer_twiddles,
+                                         domain_line_twiddles,
+                                         precompute_twiddles)
+
+    log_n = 10
+    mesh = make_mesh2d(2, 4)
+    domain = CanonicCoset.new(log_n).circle_domain()
+    tree = precompute_twiddles(domain.half_coset)
+    line = domain_line_twiddles(log_n, tree)
+    circ = circle_layer_twiddles(line[0])
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, (1 << 31) - 1, size=1 << log_n, dtype=np.uint32)
+    fft = make_sharded_fft(mesh, log_n, line, circ)
+    got = np.asarray(fft(shard_column(jnp.asarray(vals), mesh)))
+    want = np.asarray(fft_ops.fft_natural_to_bitrev(jnp.asarray(vals),
+                                                    line, circ))
+    np.testing.assert_array_equal(got, want)
+
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    proc_id = int(sys.argv[1]); nprocs = int(sys.argv[2]); port = sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, %r)
+    import jax
+    jax.distributed.initialize(coordinator_address="localhost:" + port,
+                               num_processes=nprocs, process_id=proc_id)
+    assert jax.process_count() == nprocs, jax.process_count()
+    assert len(jax.devices()) == nprocs * 2  # global devices
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+    from jax.experimental import multihost_utils
+
+    from tstwo_tpu.circle import CanonicCoset
+    from tstwo_tpu.ops import fft as fft_ops
+    from tstwo_tpu.parallel.fft import make_sharded_fft
+    from tstwo_tpu.parallel.mesh import make_mesh2d
+
+    log_n = 10
+    mesh = make_mesh2d(nprocs, 2)   # hosts x local chips -- a REAL 2-host mesh
+    from tstwo_tpu.poly.twiddles import (circle_layer_twiddles,
+                                         domain_line_twiddles,
+                                         precompute_twiddles)
+    domain = CanonicCoset.new(log_n).circle_domain()
+    tree = precompute_twiddles(domain.half_coset)
+    line = domain_line_twiddles(log_n, tree)
+    circ = circle_layer_twiddles(line[0])
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, (1 << 31) - 1, size=1 << log_n, dtype=np.uint32)
+
+    # distribute the global column: every process feeds the same host array
+    sharding = NamedSharding(mesh, PartitionSpec(("hosts", "chips")))
+    gvals = multihost_utils.host_local_array_to_global_array(
+        vals.reshape(nprocs, -1)[proc_id], mesh, PartitionSpec(("hosts", "chips")))
+    fft = make_sharded_fft(mesh, log_n, line, circ)
+    out = fft(gvals)
+    # gather the full result on every process and compare to the local ref
+    full = multihost_utils.process_allgather(out, tiled=True)
+    want = np.asarray(fft_ops.fft_natural_to_bitrev(jnp.asarray(vals),
+                                                    line, circ))
+    assert np.array_equal(np.asarray(full), want), "mismatch"
+    print(f"proc {proc_id} OK", flush=True)
+""") % (REPO,)
+
+
+@pytest.mark.skipif(os.environ.get("TSTWO_SKIP_MULTIPROC") == "1",
+                    reason="multi-process run disabled")
+def test_jax_distributed_two_process_fft():
+    """Two real OS processes, jax.distributed over localhost, one global
+    2x2 (hosts x chips) mesh, sharded CFFT with cross-process all-to-all."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # drop the axon sitecustomize (CPU run)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", _WORKER, str(i), "2", port],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         env=env, cwd=REPO)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"proc {i} OK" in out

@@ -126,32 +126,6 @@ def test_sharded_full_merkle_commit_matches():
     assert ref.root() == sharded.root()
 
 
-def test_sharded_prove_pipeline_matches_single_device():
-    """The full jitted prove step (iCFFT -> extend -> Merkle -> constraints
-    -> composition commit -> quotients -> FRI folds) is bit-equal between an
-    8-device mesh and a single device."""
-    from tstwo_tpu.parallel.pipeline import make_sharded_prove_step
-
-    if len(jax.devices()) < 8:
-        pytest.skip("not enough devices")
-    log_rows, n_cols = 6, 6
-    n = 1 << log_rows
-    rng = np.random.default_rng(7)
-    trace = rng.integers(0, (1 << 31) - 1, size=(n_cols, n), dtype=np.uint32)
-    alpha = rng.integers(0, (1 << 31) - 1, size=4, dtype=np.uint32)
-    fri_alpha = rng.integers(0, (1 << 31) - 1, size=4, dtype=np.uint32)
-
-    outs = []
-    for n_dev in (8, 1):
-        mesh = make_mesh(n_dev)
-        step, shard_inputs = make_sharded_prove_step(mesh, log_rows, n_cols)
-        out = step(shard_inputs(trace), jax.numpy.asarray(alpha),
-                   jax.numpy.asarray(fri_alpha))
-        outs.append(jax.tree.map(np.asarray, out))
-    for a, b in zip(outs[0], outs[1]):
-        np.testing.assert_array_equal(a, b)
-
-
 def test_batched_sharded_fft_matches_single_column():
     """leading_dims=1 batched sharded FFT == per-column sharded FFT."""
     log_n = 8

@@ -70,10 +70,10 @@ def generate_trace(log_n_rows: int, sequence_length: int = FIB_SEQUENCE_LENGTH,
 
 def prove_wide_fibonacci(log_n_rows: int = 6,
                          sequence_length: int = FIB_SEQUENCE_LENGTH,
-                         config: PcsConfig = None, mesh=None,
+                         config: PcsConfig = None, mesh=None, seed: int = 0,
                          ) -> Tuple[StarkProof, FrameworkComponent, PcsConfig]:
     config = config or PcsConfig()
-    columns = generate_trace(log_n_rows, sequence_length)
+    columns = generate_trace(log_n_rows, sequence_length, seed=seed)
     domain = CanonicCoset.new(log_n_rows).circle_domain()
     trace = [CircleEvaluation(domain, col) for col in columns]
     twiddles = precompute_twiddles(

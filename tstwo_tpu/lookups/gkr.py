@@ -130,20 +130,27 @@ class EqEvals:
 
 @jax.jit
 def _next_gp(ev):
-    return npqm31.mul(ev[:, 0::2], ev[:, 1::2])
+    from ..ops.fri_ops import _deinterleave
+
+    e0, e1 = _deinterleave(ev)
+    return npqm31.mul(e0, e1)
 
 
 @jax.jit
 def _next_logup(n_arr, d):
-    d0, d1 = d[:, 0::2], d[:, 1::2]
-    n0, n1 = n_arr[:, 0::2], n_arr[:, 1::2]
+    from ..ops.fri_ops import _deinterleave
+
+    d0, d1 = _deinterleave(d)
+    n0, n1 = _deinterleave(n_arr)
     return (npqm31.add(npqm31.mul(n0, d1), npqm31.mul(n1, d0)),
             npqm31.mul(d0, d1))
 
 
 @jax.jit
 def _next_logup_singles(d):
-    d0, d1 = d[:, 0::2], d[:, 1::2]
+    from ..ops.fri_ops import _deinterleave
+
+    d0, d1 = _deinterleave(d)
     return npqm31.add(d0, d1), npqm31.mul(d0, d1)
 
 

@@ -249,6 +249,9 @@ def fold(values: jnp.ndarray, factors, mul_fn, add_fn) -> jnp.ndarray:
     innermost (adjacent pairs) to the outermost, i.e. pass factors in
     [innermost, ..., outermost] order.
     """
+    from .fri_ops import _deinterleave
+
     for f in factors:
-        values = add_fn(values[..., 0::2], mul_fn(values[..., 1::2], f))
+        v0, v1 = _deinterleave(values)
+        values = add_fn(v0, mul_fn(v1, f))
     return values[..., 0]

@@ -17,9 +17,13 @@ import jax.numpy as jnp
 import numpy as np
 
 P = (1 << 31) - 1
-_P32 = jnp.uint32(P)
-_MASK16 = jnp.uint32(0xFFFF)
-_MASK15 = jnp.uint32(0x7FFF)
+# Plain python ints (not jnp scalars): weak typing promotes them to uint32
+# in-op, and -- critically -- they are not traced constants, so every m31/
+# cm31/qm31 op can run INSIDE a Pallas kernel body (a module-level jnp
+# scalar would be a captured constant, which pallas_call rejects).
+_P32 = P
+_MASK16 = 0xFFFF
+_MASK15 = 0x7FFF
 
 uint32 = jnp.uint32
 

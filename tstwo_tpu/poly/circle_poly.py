@@ -228,9 +228,12 @@ import jax as _jax
 def _fold_columns_kernel(coeff_stack: jnp.ndarray, mappings) -> jnp.ndarray:
     """One fused fold of [k, n] base columns by QM31 factors (list of [4])."""
     v = qm31_ops.from_m31(coeff_stack)  # [4, k, n]
+    from ..ops.fri_ops import _deinterleave
+
     for f in mappings:
         fb = f[:, None, None]
-        v = qm31_ops.add(v[:, :, 0::2], qm31_ops.mul(v[:, :, 1::2], fb))
+        v0, v1 = _deinterleave(v)
+        v = qm31_ops.add(v0, qm31_ops.mul(v1, fb))
     return v[:, :, 0]
 
 

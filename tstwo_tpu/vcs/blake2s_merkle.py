@@ -41,10 +41,13 @@ def commit_on_layer(log_size: int,
     parts: List[jnp.ndarray] = []
     n_words = 0
     if prev_layer is not None:
-        pairs = jnp.asarray(prev_layer, dtype=jnp.uint32).reshape(8, n, 2)
+        from ..ops.fri_ops import _deinterleave
+
         # message = left digest (8 words) || right digest (8 words)
-        parts.append(pairs[:, :, 0])
-        parts.append(pairs[:, :, 1])
+        left, right = _deinterleave(jnp.asarray(prev_layer,
+                                                dtype=jnp.uint32))
+        parts.append(left)
+        parts.append(right)
         n_words += 16
     if columns:
         parts.append(jnp.stack([jnp.asarray(c) for c in columns], axis=0))

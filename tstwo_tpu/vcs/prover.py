@@ -56,8 +56,10 @@ def _scan_levels(top: jnp.ndarray, s: int):
     cap = 1 << s
 
     def body(buf, _):
-        pairs = buf.reshape(8, cap // 2, 2)
-        msg = jnp.concatenate([pairs[:, :, 0], pairs[:, :, 1]], axis=0)
+        from ..ops.fri_ops import _deinterleave
+
+        left, right = _deinterleave(buf)
+        msg = jnp.concatenate([left, right], axis=0)
         parents = _hash_words_major_xla(msg, 64)
         nxt = jnp.concatenate(
             [parents, jnp.zeros((8, cap - cap // 2), dtype=jnp.uint32)],
