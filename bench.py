@@ -40,23 +40,42 @@ def _fetch(y):
     return np.asarray(leaf.reshape(-1)[:4])
 
 
-def delta_time(make_chain, x, k1=3, k2=13, reps=3):
+def delta_time(make_chain, x, k1=4, min_delta=0.25, reps=4, max_k=8192,
+               k2=None):
     """make_chain(k) -> jitted fn mapping x -> same-structured x applying
-    the op k times serially.  Returns marginal seconds per op."""
-    times = {}
-    for key, k in (("k1", k1), ("k2", k2)):
+    the op k times serially.  Returns marginal seconds per op as
+    (t(k2) - t(k1)) / (k2 - k1), with k2 widened until the marginal work
+    is >= min_delta seconds -- far above tunnel dispatch jitter.  (The r03
+    fixed k-spread put ~0.3-4 ms of marginal work under ~ms-scale jitter
+    and produced a 16x-inflated headline; VERDICT r3 weak #1.)  Raises on
+    a non-positive delta instead of clamping."""
+    def measure(k):
         chain = make_chain(k)
         x2 = chain(x)
         _fetch(x2)  # compile + settle
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
-            x2 = chain(x2)
-            _fetch(x2)
+            x2 = chain(x2)  # feed output back: args differ every rep,
+            _fetch(x2)      # so no result cache can serve the call
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        times[key] = best
-    return max((times["k2"] - times["k1"]) / (k2 - k1), 1e-12)
+        return best
+    t1 = measure(k1)
+    k2 = k2 or max(4 * k1, 16)
+    while True:
+        t2 = measure(k2)
+        if t2 - t1 >= min_delta or k2 >= max_k:
+            break
+        k2 *= 4
+    dt = (t2 - t1) / (k2 - k1)
+    if dt <= 0:
+        raise RuntimeError(
+            f"non-positive marginal time ({t2:.4f}s @k={k2} vs "
+            f"{t1:.4f}s @k={k1}): measurement invalid")
+    print(f"  delta_time: k1={k1} ({t1:.4f}s) k2={k2} ({t2:.4f}s)",
+          file=sys.stderr)
+    return dt
 
 
 def bench_m31_mul():
@@ -72,12 +91,10 @@ def bench_m31_mul():
     def make(k):
         @jax.jit
         def chain(x):
-            for _ in range(k):
-                x = m31.mul(x, b)
-            return x
+            return jax.lax.fori_loop(0, k, lambda i, v: m31.mul(v, b), x)
         return chain
 
-    dt = delta_time(make, a, k1=4, k2=20)
+    dt = delta_time(make, a)
     return n / dt
 
 
@@ -94,12 +111,10 @@ def bench_qm31_mul():
     def make(k):
         @jax.jit
         def chain(x):
-            for _ in range(k):
-                x = qm31.mul(x, b)
-            return x
+            return jax.lax.fori_loop(0, k, lambda i, v: qm31.mul(v, b), x)
         return chain
 
-    dt = delta_time(make, a, k1=4, k2=16)
+    dt = delta_time(make, a)
     return n / dt
 
 
@@ -124,19 +139,20 @@ def bench_cfft_roundtrip(log_n=20):
     rng = np.random.default_rng(1)
     vals = jnp.asarray(rng.integers(0, P, size=n, dtype=np.uint32))
 
+    def body(i, v):
+        ev = fft_ops.fft_natural_to_bitrev(v, line, circ)
+        nat = fft_ops.bit_reverse(ev, log_n)   # natural-order view
+        ev2 = fft_ops.bit_reverse(nat, log_n)  # back to bit-reversed
+        back = fft_ops.ifft_bitrev_to_natural(ev2, line_i, circ_i)
+        return m31.mul(back, n_inv)
+
     def make(k):
         @jax.jit
         def chain(v):
-            for _ in range(k):
-                ev = fft_ops.fft_natural_to_bitrev(v, line, circ)
-                nat = fft_ops.bit_reverse(ev, log_n)   # natural-order view
-                ev2 = fft_ops.bit_reverse(nat, log_n)  # back to bit-reversed
-                back = fft_ops.ifft_bitrev_to_natural(ev2, line_i, circ_i)
-                v = m31.mul(back, n_inv)
-            return v
+            return jax.lax.fori_loop(0, k, body, v)
         return chain
 
-    dt = delta_time(make, vals, k1=2, k2=8)
+    dt = delta_time(make, vals, k1=2)
     return n / dt
 
 
@@ -162,19 +178,18 @@ def bench_quotients(log_n=20):
     # the 4 output coordinate rows back as the 4 input columns
     import jax.numpy as jnp
 
+    def body(i, stack):
+        return accumulate_quotients(
+            domain, [stack[i] for i in range(4)], coeff, batches, 1).values
+
     def make(k):
         @jax.jit
         def chain(stack):
-            for _ in range(k):
-                out = accumulate_quotients(
-                    domain, [stack[i] for i in range(4)], coeff, batches,
-                    1).values
-                stack = out
-            return stack
+            return jax.lax.fori_loop(0, k, body, stack)
         return chain
 
     stack0 = jnp.stack(cols)
-    dt = delta_time(make, stack0, k1=2, k2=6)
+    dt = delta_time(make, stack0, k1=2)
     return 4 * n / dt
 
 
@@ -187,17 +202,17 @@ def bench_merkle(log_n=22):
     n = 1 << log_n
     cols0 = jnp.asarray(rng.integers(0, P, size=(4, n), dtype=np.uint32))
 
+    def body(i, cols):
+        layers = _commit_all_layers(log_n, tuple(cols[i] for i in range(4)))
+        return cols.at[0, :8].set(layers[0][:, 0])
+
     def make(k):
         @jax.jit
         def chain(cols):
-            for _ in range(k):
-                layers = _commit_all_layers(
-                    log_n, tuple(cols[i] for i in range(4)))
-                cols = cols.at[0, :8].set(layers[0][:, 0])
-            return cols
+            return jax.lax.fori_loop(0, k, body, cols)
         return chain
 
-    dt = delta_time(make, cols0, k1=2, k2=8)
+    dt = delta_time(make, cols0, k1=2)
     return 2 * n / dt  # tree nodes (leaf hashes + internal) per second
 
 
@@ -234,14 +249,35 @@ def bench_fri_commit(log_n=22):
     return (1 << log_n) / best
 
 
+SPANS = {}
+
+
+def _spanned(tag):
+    """Start a fresh tracing window; returns a closer that records the
+    per-phase totals into SPANS[tag] (surfaced in the bench JSON and
+    PERF.md section 5)."""
+    from tstwo_tpu import tracing
+
+    tracing.reset()
+    tracing.enable()
+
+    def close():
+        SPANS[tag] = {k: round(v, 4) for k, v in tracing.totals().items()}
+        tracing.disable()
+
+    return close
+
+
 def bench_prove():
     from tstwo_tpu.examples.basic_air import (prove_basic_air,
                                               verify_basic_air)
 
     prove_basic_air(log_num_rows=4)  # warm (trace + compile cache)
+    close = _spanned("basic_air_log4")
     t0 = time.perf_counter()
     proof, component, config = prove_basic_air(log_num_rows=4)
     prove_s = time.perf_counter() - t0
+    close()
     verify_basic_air(proof, component, config, log_num_rows=4)
     return prove_s
 
@@ -253,10 +289,12 @@ def bench_prove_wide_fib(log_n_rows=8, seq=32):
     prove_wide_fibonacci(log_n_rows=log_n_rows, sequence_length=seq)  # warm
     best = None
     for seed in (1, 2):
+        close = _spanned(f"wide_fib_log{log_n_rows}x{seq}")
         t0 = time.perf_counter()
         proof, component, config = prove_wide_fibonacci(
             log_n_rows=log_n_rows, sequence_length=seq, seed=seed)
         dt = time.perf_counter() - t0
+        close()
         best = dt if best is None else min(best, dt)
     verify_wide_fibonacci(proof, component, config, log_n_rows=log_n_rows)
     return best
@@ -269,10 +307,12 @@ def bench_prove_logup(log_size=16):
     prove_logup_lookup(log_size=log_size)  # warm
     best = None
     for seed in (1, 2):
+        close = _spanned(f"logup_log{log_size}")
         t0 = time.perf_counter()
         proof, config, claimed = prove_logup_lookup(log_size=log_size,
                                                     seed=seed)
         dt = time.perf_counter() - t0
+        close()
         best = dt if best is None else min(best, dt)
     verify_logup_lookup(proof, config, log_size, claimed)
     return best
@@ -292,7 +332,7 @@ def bench_gkr_layers(log_n=20):
 
     def run(x):
         layers = _gen_layers(Layer(GRAND_PRODUCT, data=Mle(x)))
-        jax.block_until_ready(layers[-1].data.evals)
+        _fetch(layers[-1].data.evals)  # one real (small) device->host pull
         return layers
 
     run(evals)  # compile all sizes
@@ -310,6 +350,8 @@ def _try(fn, *a, **k):
     try:
         return fn(*a, **k)
     except Exception:
+        import traceback
+        traceback.print_exc(file=sys.stderr)  # a null metric is never silent
         return None
 
 
@@ -335,9 +377,13 @@ def main():
     aux = {}
     for name, fn, args in plan:
         if time.time() - budget_t0 > deadline:
+            print(f"bench deadline hit; skipping {name}", file=sys.stderr)
             aux[name] = None  # deadline hit: report partial rather than die
             continue
+        print(f"[bench] {name} ...", file=sys.stderr)
         aux[name] = _try(fn, *args)
+        print(f"[bench] {name} = {aux[name]}", file=sys.stderr)
+    aux["spans"] = SPANS
     aux["bench_wall_seconds"] = round(time.time() - budget_t0, 1)
     print(json.dumps({
         "metric": "m31_mul_ops_per_s",

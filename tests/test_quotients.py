@@ -92,3 +92,44 @@ def test_fri_answers_device_matches_host_scalar():
     got = run(True)
     want = run(False)
     assert got == want
+
+
+def test_accumulate_quotients_usable_under_jit():
+    """Regression for the r3 tracer leak: the first call happening inside a
+    jax.jit trace must not poison the domain-point cache for later
+    un-jitted calls (pcs/quotients.py domain_points_bitrev)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tstwo_tpu.circle import SECURE_FIELD_CIRCLE_GEN, CanonicCoset
+    from tstwo_tpu.pcs import quotients as q
+
+    # fresh cache state for the domain under test
+    log_size = 6
+    domain = CanonicCoset.new(log_size).circle_domain()
+    key = (domain.half_coset.initial_index.value, domain.half_coset.log_size)
+    q._DEV_POINTS_CACHE.pop(key, None)
+    q._domain_points_bitrev_np.cache_clear()
+
+    rng = np.random.default_rng(11)
+    n = 1 << log_size
+    cols = jnp.asarray(
+        rng.integers(0, (1 << 31) - 1, size=(4, n), dtype=np.uint32))
+    samples = [[PointSample(SECURE_FIELD_CIRCLE_GEN,
+                            QM31.from_u32_unchecked(i + 1, 2, 3, 4))]
+               for i in range(4)]
+    batches = ColumnSampleBatch.new_vec(samples)
+    coeff = QM31.from_u32_unchecked(5, 6, 7, 8)
+
+    @jax.jit
+    def jitted(stack):
+        return q.accumulate_quotients(
+            domain, [stack[i] for i in range(4)], coeff, batches, 1).values
+
+    first = np.asarray(jitted(cols))          # first call INSIDE a trace
+    second = np.asarray(q.accumulate_quotients(   # then un-jitted
+        domain, [cols[i] for i in range(4)], coeff, batches, 1).values)
+    assert np.array_equal(first, second)
+    # and the jitted wrapper stays callable (r3: raised UnexpectedTracerError)
+    third = np.asarray(jitted(cols))
+    assert np.array_equal(first, third)

@@ -203,7 +203,9 @@ def compute_decommitment_positions_and_witness_evals(
         if batch is not None:
             handle = batch.defer(gathered)
             return decommitment_positions, lambda: _build(handle.get())
-        witness_evals = _build(np.asarray(gathered))
+        from .utils import to_host
+
+        witness_evals = _build(to_host(gathered))
     else:
         if batch is not None:
             return decommitment_positions, lambda: []
@@ -441,7 +443,10 @@ class FriProver:
                               y_itws, tuple(itws), last_size))
 
         # One transfer: final transcript state + (tiny) last-layer values.
-        dw, ns, last_host = jax.device_get((digest, n_sent, last_vals))
+        from .utils import to_host
+
+        dw, ns, last_host = (to_host(digest), to_host(n_sent),
+                             to_host(last_vals))
         device_channel.sync_host_channel(channel, dw, int(ns),
                                          n_mixes=1 + n_inner)
 

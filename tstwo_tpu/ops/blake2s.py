@@ -208,17 +208,27 @@ def _on_tpu() -> bool:
         return False
 
 
-@partial(jax.jit, static_argnames=("byte_len",))
-def _hash_words_major_pallas(words: jnp.ndarray, byte_len: int):
+def _pallas_rows(total: int, r: int) -> int:
+    """Rows per grid block: a power-of-two DIVISOR of r (a non-divisor
+    leaves floor(r/rows) blocks covered and the tail uninitialized --
+    ADVICE r3 medium), halved while the VMEM block exceeds budget."""
+    rows = min(64, r & -r)  # largest power of two dividing r, capped
+    while total * rows * 128 * 4 > (4 << 20) and rows > 8:
+        rows //= 2
+    return rows
+
+
+@partial(jax.jit, static_argnames=("byte_len", "interpret"))
+def _hash_words_major_pallas(words: jnp.ndarray, byte_len: int,
+                             interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     total, n = words.shape
     n_blocks = total // 16
     r = n // 128
-    rows = min(64, r)
-    while total * rows * 128 * 4 > (4 << 20) and rows > 8:
-        rows //= 2
+    rows = _pallas_rows(total, r)
+    assert r % rows == 0
     m3 = words.reshape(total, r, 128)
     out = pl.pallas_call(
         partial(_wm_kernel, n_blocks=n_blocks, byte_len=byte_len),
@@ -228,15 +238,18 @@ def _hash_words_major_pallas(words: jnp.ndarray, byte_len: int):
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((8, rows, 128), lambda g: (0, g, 0),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(m3)
     return out.reshape(8, n)
 
 
-@partial(jax.jit, static_argnames=("byte_len",))
-def _hash_words_major_xla(words: jnp.ndarray, byte_len: int):
+@partial(jax.jit, static_argnames=("byte_len", "unroll"))
+def _hash_words_major_xla(words: jnp.ndarray, byte_len: int,
+                          unroll: bool = None):
     total, n = words.shape
     n_blocks = total // 16
-    unroll = n >= (1 << 15)
+    if unroll is None:
+        unroll = n >= (1 << 15)
     h = [jnp.broadcast_to(jnp.uint32(H0[i]), (n,)) for i in range(8)]
     for b in range(n_blocks):
         final = b == n_blocks - 1
@@ -258,7 +271,7 @@ def hash_words_major(words: jnp.ndarray, byte_len: int) -> jnp.ndarray:
     total = n_blocks * 16
     if w < total:
         words = jnp.pad(words, ((0, total - w), (0, 0)))
-    if n >= 2048 and n % 128 == 0 and _on_tpu():
+    if (n >= 2048 and n % 128 == 0 and (n // 128) % 8 == 0 and _on_tpu()):
         return _hash_words_major_pallas(words, byte_len)
     return _hash_words_major_xla(words, byte_len)
 

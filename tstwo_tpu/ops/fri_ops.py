@@ -22,6 +22,16 @@ import numpy as np
 from . import m31, qm31
 
 
+_PALLAS_DEINT_MIN = 1 << 13
+
+
+def _deint_on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _deinterleave(x: jnp.ndarray):
     """(x[..., 0::2], x[..., 1::2]) without the strided-lane gather.
 
@@ -29,11 +39,21 @@ def _deinterleave(x: jnp.ndarray):
     gather on TPU (measured 21.6 ms on [4, 2^22]); routing the pair bit
     through a [128, 2] minor transpose is 3.5x faster and the op XLA lowers
     to vector shuffles.  (The reference SIMD backend does the same with
-    in-register interleaves, simd/m31.ts:72-105.)
+    in-register interleaves, simd/m31.ts:72-105.)  On TPU, large columns
+    dispatch the Pallas kernel (ops/pallas/interleave.py) instead: the pair
+    bit rides the sublane axis entirely in VMEM -- measured 10.5x the XLA
+    mini-transpose at [4, 2^22] (1.5 vs 16 ms, round 4).
     """
     n = x.shape[-1]
-    if n < 256:
+    if n < 256 or n % 256 != 0:
+        # strided-slice fallback; the fast path needs n % 256 == 0
+        # (ADVICE r3: every current caller is power-of-two-sized, but the
+        # helper is shared by five modules -- guard rather than document)
         return x[..., 0::2], x[..., 1::2]
+    if n >= _PALLAS_DEINT_MIN and _deint_on_tpu():
+        from .pallas.interleave import deinterleave_pallas
+
+        return deinterleave_pallas(x)
     lead = x.shape[:-1]
     v = x.reshape(*lead, n // 256, 128, 2)
     v = jnp.swapaxes(v, -1, -2)  # [..., q, 2, 128]

@@ -226,8 +226,12 @@ def prepare_layouts(line_twiddles: Sequence[jnp.ndarray],
 
 # Host cache of prepared layouts keyed by twiddle-array identity (stable:
 # TwiddleTree caches its layer arrays per coset).  The value keeps refs to
-# the source arrays so their ids cannot be recycled.
-_LAYOUT_CACHE: Dict[tuple, tuple] = {}
+# the source arrays so their ids cannot be recycled.  Bounded LRU (ADVICE
+# r3: unbounded entries pin device memory forever in a long-lived prover).
+from collections import OrderedDict
+
+_LAYOUT_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_LAYOUT_CACHE_MAX = 8
 
 
 def cached_layouts(line_twiddles, circle_twiddles, n_log: int,
@@ -239,6 +243,8 @@ def cached_layouts(line_twiddles, circle_twiddles, n_log: int,
     key = (tuple(id(t) for t in line_twiddles), id(circle_twiddles),
            n_log, chunk_log)
     hit = _LAYOUT_CACHE.get(key)
+    if hit is not None:
+        _LAYOUT_CACHE.move_to_end(key)
     if hit is None:
         layouts = prepare_layouts(line_twiddles, circle_twiddles, n_log,
                                   chunk_log)
@@ -251,6 +257,8 @@ def cached_layouts(line_twiddles, circle_twiddles, n_log: int,
             lambda a: jax.device_put(a).block_until_ready(), layouts)
         hit = (layouts, (tuple(line_twiddles), circle_twiddles))
         _LAYOUT_CACHE[key] = hit
+        while len(_LAYOUT_CACHE) > _LAYOUT_CACHE_MAX:
+            _LAYOUT_CACHE.popitem(last=False)
     return hit[0]
 
 

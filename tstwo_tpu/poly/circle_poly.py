@@ -246,5 +246,7 @@ def eval_columns_at_point(coeff_stack: jnp.ndarray, point: CirclePoint,
                 for i in range(coeff_stack.shape[0])]
     mappings = _mappings_for_point(point, log_size, QM31.one())
     factors = [qm31_ops.scalar(f) for f in mappings]
-    out = np.asarray(_fold_columns_kernel(coeff_stack, factors))
+    from ..utils import to_host
+
+    out = to_host(_fold_columns_kernel(coeff_stack, factors))
     return [QM31.from_ints(out[:, i].tolist()) for i in range(out.shape[1])]

@@ -71,7 +71,9 @@ def grind_device(channel: Blake2sChannel, pow_bits: int,
         nonces = np.arange(start, start + batch, dtype=np.uint64)
         lo = jnp.asarray((nonces & 0xFFFFFFFF).astype(np.uint32))
         hi = jnp.asarray((nonces >> 32).astype(np.uint32))
-        idx = int(_grind_batch(digest_words, lo, hi, pow_bits))
+        from .utils import to_host
+
+        idx = int(to_host(_grind_batch(digest_words, lo, hi, pow_bits)))
         if idx < batch:
             return start + idx
         start += batch

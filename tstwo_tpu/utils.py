@@ -70,6 +70,24 @@ def circle_domain_index_to_coset_index(circle_index: int, log_domain_size: int) 
     return (n - 1 - circle_index) * 2 + 1
 
 
+def to_host(x) -> np.ndarray:
+    """Device->host fetch that also works under jax.distributed.
+
+    In a multi-process (multi-controller) run, arrays produced by GSPMD
+    programs over a global mesh may not be fully addressable from this
+    process; np.asarray on them raises.  Every process runs the identical
+    deterministic prove, so an all-gather is safe and gives every host the
+    full value (SURVEY §5: Fiat-Shamir state replicated on all hosts)."""
+    import jax
+
+    if (isinstance(x, jax.Array) and not x.is_fully_addressable
+            and not x.is_fully_replicated):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 class FetchBatch:
     """Defer device->host transfers and materialize them in ONE fetch.
 
@@ -109,8 +127,8 @@ class FetchBatch:
             self._values = []
             return
         flats = [jnp.ravel(a).astype(jnp.uint32) for a in self._pending]
-        host = np.asarray(jnp.concatenate(flats) if len(flats) > 1
-                          else flats[0])
+        host = to_host(jnp.concatenate(flats) if len(flats) > 1
+                       else flats[0])
         out, off = [], 0
         for a in self._pending:
             n = int(np.prod(a.shape)) if a.ndim else 1

@@ -50,17 +50,28 @@ def _scan_levels(top: jnp.ndarray, s: int):
     instead of log2(N) separate kernels -- a fused FRI commit otherwise
     traces ~230 distinct tiny compress graphs (minutes of XLA compile time,
     ~1 ms of launch overhead each at runtime).
+
+    On TPU the compress in the scan body is fully UNROLLED: the
+    lax.fori_loop compress was measured 6x slower per scan step (2.6 vs
+    0.44 ms per 11-level scan, round 4) -- its traced SIGMA lookups become
+    dynamic sublane slices each iteration.  On CPU the fori form is kept:
+    an unrolled compress inside lax.scan sends the XLA:CPU loop optimizer
+    into a multi-minute pathology (ops/blake2s.py docstring).
     """
     from ..ops.blake2s import _hash_words_major_xla
 
     cap = 1 << s
+    try:
+        unroll = jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        unroll = False
 
     def body(buf, _):
         from ..ops.fri_ops import _deinterleave
 
         left, right = _deinterleave(buf)
         msg = jnp.concatenate([left, right], axis=0)
-        parents = _hash_words_major_xla(msg, 64)
+        parents = _hash_words_major_xla(msg, 64, unroll=unroll)
         nxt = jnp.concatenate(
             [parents, jnp.zeros((8, cap - cap // 2), dtype=jnp.uint32)],
             axis=1)
@@ -162,8 +173,10 @@ class MerkleProver:
 
     def root(self) -> bytes:
         if self._root is None:
+            from ..utils import to_host
+
             self._root = digest_words_to_bytes(
-                np.asarray(self.layers[0][:, 0]))
+                to_host(self.layers[0][:, 0]))
         return self._root
 
     def root_deferred(self, batch):
