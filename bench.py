@@ -62,12 +62,16 @@ def delta_time(make_chain, x, k1=4, min_delta=0.25, reps=4, max_k=8192,
             best = dt if best is None else min(best, dt)
         return best
     t1 = measure(k1)
-    k2 = k2 or max(4 * k1, 16)
-    while True:
+    if k2 is None:
+        # one-shot estimate: t1/k1 upper-bounds the marginal per-op time
+        # (constant dispatch overhead included), so this k2 guarantees
+        # >= min_delta of marginal work without a recompile loop (each
+        # extra chain costs a tunnel compile)
+        k2 = min(max_k, k1 + max(2 * k1, int(min_delta / (t1 / k1)) + 1))
+    t2 = measure(k2)
+    if t2 - t1 < min_delta / 2 and k2 < max_k:  # estimate undershot: widen
+        k2 = min(max_k, k2 * 4)
         t2 = measure(k2)
-        if t2 - t1 >= min_delta or k2 >= max_k:
-            break
-        k2 *= 4
     dt = (t2 - t1) / (k2 - k1)
     if dt <= 0:
         raise RuntimeError(

@@ -57,11 +57,15 @@ def prove_spans(log_rows=16, seq=8):
                                                    verify_wide_fibonacci)
 
     prove_wide_fibonacci(log_n_rows=log_rows, sequence_length=seq)  # warm
+    # second warm with a different seed: decommit gather BUCKETS (padded
+    # shapes) compile on first contact with a fresh query structure
+    prove_wide_fibonacci(log_n_rows=log_rows, sequence_length=seq, seed=3)
     tracing.enable()
     tracing.reset()
     t0 = time.perf_counter()
+    # fresh seed: the tunnel result-caches identical (executable, args)
     proof, comp, cfg = prove_wide_fibonacci(log_n_rows=log_rows,
-                                            sequence_length=seq)
+                                            sequence_length=seq, seed=5)
     total = time.perf_counter() - t0
     tracing.disable()
     print(f"== prove wide-fib 2^{log_rows} x {seq} cols: "
@@ -72,6 +76,44 @@ def prove_spans(log_rows=16, seq=8):
     print(f"verify: {(time.perf_counter()-t0)*1e3:.1f} ms", flush=True)
 
 
+def basic_spans(log_rows=4):
+    from tstwo_tpu.examples.basic_air import prove_basic_air
+
+    prove_basic_air(log_num_rows=log_rows)  # warm
+    tracing.enable()
+    tracing.reset()
+    t0 = time.perf_counter()
+    prove_basic_air(log_num_rows=log_rows)
+    total = time.perf_counter() - t0
+    tracing.disable()
+    print(f"== prove basic-air 2^{log_rows}: {total*1e3:.1f} ms total ==")
+    print(tracing.report(), flush=True)
+
+
+def logup_spans(log_size=16):
+    from tstwo_tpu.examples.logup_lookup import prove_logup_lookup
+
+    prove_logup_lookup(log_size=log_size)  # warm
+    prove_logup_lookup(log_size=log_size, seed=3)  # warm gather buckets
+    tracing.enable()
+    tracing.reset()
+    t0 = time.perf_counter()
+    prove_logup_lookup(log_size=log_size, seed=5)
+    total = time.perf_counter() - t0
+    tracing.disable()
+    print(f"== prove logup 2^{log_size}: {total*1e3:.1f} ms total ==")
+    print(tracing.report(), flush=True)
+
+
 if __name__ == "__main__":
-    fri_commit_spans()
-    prove_spans()
+    import sys as _sys
+
+    which = _sys.argv[1] if len(_sys.argv) > 1 else "all"
+    if which in ("all", "fri"):
+        fri_commit_spans()
+    if which in ("all", "wide"):
+        prove_spans(16, 32)
+    if which in ("all", "basic"):
+        basic_spans()
+    if which in ("all", "logup"):
+        logup_spans()

@@ -21,14 +21,20 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the jitted Poseidon252 Hades permutation
 # takes ~1 min of XLA CPU compile; cache it (and everything else slow)
-# across test runs.  The default jax_compilation_cache_dir is None --
-# there IS no out-of-the-box cache (r2/r3's conftest assumed one and the
-# suite recompiled everything every run, 32 min; VERDICT r3 weak #6) --
-# so set the directory explicitly.  Verified to populate and to be hit on
-# the second run in this environment (cachetest, round 4).
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
+# across test runs.  The default jax_compilation_cache_dir is None (there
+# is no out-of-the-box cache), so set it explicitly -- BUT this
+# environment's axon sitecustomize re-points the cache to
+# ~/.cache/jax_comp_cache at plugin load (discovered round 4: entries
+# land there regardless of this config; that is why r2's conftest
+# concluded the override "did not take effect").  Either location is
+# fine -- the global one even persists across rounds -- so configure
+# ours and accept both in the sanity check below.
+_cache_dirs = [
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"),
+    os.path.expanduser("~/.cache/jax_comp_cache"),
+]
+jax.config.update("jax_compilation_cache_dir", _cache_dirs[0])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
@@ -38,8 +44,8 @@ def pytest_sessionfinish(session, exitstatus):
     # FAIL (not warn) if it regresses.  (VERDICT r3 next-round #7.)  Small
     # selections may legitimately compile nothing in-process, so only
     # enforce on substantial runs.
-    if session.testscollected >= 50 and (
-            not os.path.isdir(_cache_dir) or not os.listdir(_cache_dir)):
+    populated = any(os.path.isdir(d) and os.listdir(d) for d in _cache_dirs)
+    if session.testscollected >= 50 and not populated:
         print("ERROR: jax compilation cache is empty after the session",
               file=sys.stderr)
         session.exitstatus = 1

@@ -17,3 +17,19 @@ def test_spans_record_prove_phases():
         assert phase in totals, phase
         assert totals[phase] >= 0
     assert "ms" in tracing.report()
+
+
+def test_logging_merkle_channel_records_roots():
+    from tstwo_tpu.channel import LoggingChannel, LoggingMerkleChannel
+    from tstwo_tpu.channel.blake2s import Blake2sChannel
+    from tstwo_tpu.vcs.blake2s_merkle import Blake2sMerkleChannel
+
+    ch = Blake2sChannel()
+    lmc = LoggingMerkleChannel(Blake2sMerkleChannel())
+    root = bytes(range(32))
+    lmc.mix_root(ch, root)
+    assert lmc.log == [{"op": "merkle_mix_root", "root": root.hex()}]
+    # the underlying channel actually mixed the root
+    ref = Blake2sChannel()
+    Blake2sMerkleChannel().mix_root(ref, root)
+    assert ch.digest == ref.digest

@@ -47,4 +47,5 @@ class Channel(Protocol):
 
 
 from .blake2s import Blake2sChannel  # noqa: E402,F401
-from .logging import LoggingChannel  # noqa: E402,F401
+from .logging import (LoggingChannel,  # noqa: E402,F401
+                      LoggingMerkleChannel)

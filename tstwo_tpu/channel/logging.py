@@ -60,3 +60,20 @@ class LoggingChannel:
 
     def clone(self):
         return LoggingChannel(self.inner.clone(), list(self.log))
+
+
+@dataclass
+class LoggingMerkleChannel:
+    """MerkleChannel wrapper that logs root-mixing operations
+    (reference channel/logging_channel.ts:162).  Wraps any MerkleChannel
+    flavor (Blake2sMerkleChannel / Poseidon252MerkleChannel); mix_root
+    events land in the shared `log` list alongside LoggingChannel's."""
+
+    inner: Any
+    log: List[dict] = field(default_factory=list)
+
+    def mix_root(self, channel, root) -> None:
+        self.log.append({"op": "merkle_mix_root",
+                         "root": root.hex() if isinstance(root, bytes)
+                         else str(root)})
+        self.inner.mix_root(channel, root)

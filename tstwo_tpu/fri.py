@@ -193,18 +193,19 @@ def compute_decommitment_positions_and_witness_evals(
                 continue
             witness_positions.append(pos)
     if witness_positions:
-        idx = jnp.asarray(np.array(witness_positions, dtype=np.int64))
-        gathered = jnp.take(jnp.asarray(values), idx, axis=-1)
-
         def _build(vals):
             return [QM31.from_ints(vals[:, k].tolist())
                     for k in range(vals.shape[1])]
 
         if batch is not None:
-            handle = batch.defer(gathered)
-            return decommitment_positions, lambda: _build(handle.get())
+            from .utils import padded_take
+
+            thunk = padded_take(values, witness_positions, -1, batch)
+            return decommitment_positions, lambda: _build(thunk())
         from .utils import to_host
 
+        idx = jnp.asarray(np.array(witness_positions, dtype=np.int64))
+        gathered = jnp.take(jnp.asarray(values), idx, axis=-1)
         witness_evals = _build(to_host(gathered))
     else:
         if batch is not None:
@@ -435,18 +436,30 @@ class FriProver:
             if ci < len(sizes) and sizes[ci] // 2 == cur:
                 ci += 1
 
+        from .tracing import span
+
         y_itws = tuple(fri_ops.domain_y_itwiddles(se.domain) for se in columns)
         digest, n_sent = device_channel.state_from_channel(channel)
-        (first_tree, inner_trees, inner_vals, last_vals, digest, n_sent) = (
-            _fused_fri_commit(digest, n_sent,
-                              tuple(se.values for se in columns),
-                              y_itws, tuple(itws), last_size))
+        with span("fri_fused_dispatch"):
+            (first_tree, inner_trees, inner_vals, last_vals, digest,
+             n_sent) = _fused_fri_commit(
+                digest, n_sent, tuple(se.values for se in columns),
+                y_itws, tuple(itws), last_size)
 
-        # One transfer: final transcript state + (tiny) last-layer values.
+        # One transfer: final transcript state + (tiny) last-layer values
+        # packed into a single buffer (three separate fetches = three
+        # tunnel round trips, measured 117 ms of a 145 ms commit, round 4).
         from .utils import to_host
 
-        dw, ns, last_host = (to_host(digest), to_host(n_sent),
-                             to_host(last_vals))
+        with span("fri_state_fetch"):
+            packed = jnp.concatenate([
+                digest.astype(jnp.uint32).reshape(-1),
+                jnp.atleast_1d(n_sent).astype(jnp.uint32),
+                last_vals.reshape(-1)])
+            host = to_host(packed)
+        dw = host[:8]
+        ns = int(host[8])
+        last_host = host[9:].reshape(4, -1)
         device_channel.sync_host_channel(channel, dw, int(ns),
                                          n_mixes=1 + n_inner)
 
@@ -459,9 +472,12 @@ class FriProver:
             inner_layers.append(FriInnerLayerProver(
                 LineEvaluation(domain, vals), MerkleProver(list(tree_layers))))
             domain = domain.double()
-        last_eval = LineEvaluation(domain, jnp.asarray(last_host))
-        last_layer_poly = FriProver._commit_last_layer(channel, config,
-                                                       last_eval)
+        # keep the (tiny) last layer as a HOST array: wrapping it back in
+        # jnp cost another blocking round trip inside interpolate()
+        last_eval = LineEvaluation(domain, last_host)
+        with span("fri_last_layer"):
+            last_layer_poly = FriProver._commit_last_layer(channel, config,
+                                                           last_eval)
         return FriProver(config, first_layer, inner_layers, last_layer_poly)
 
     @staticmethod

@@ -218,9 +218,18 @@ def _pallas_rows(total: int, r: int) -> int:
     return rows
 
 
-@partial(jax.jit, static_argnames=("byte_len", "interpret"))
 def _hash_words_major_pallas(words: jnp.ndarray, byte_len: int,
                              interpret: bool = False):
+    if interpret:
+        # eager: jit-of-interpret inlines the unrolled compress into one
+        # XLA:CPU program and hits its multi-minute loop-optimization
+        # pathology (same one the lax.scan docstring below describes)
+        return _hash_words_major_pallas_impl(words, byte_len, interpret)
+    return _hash_words_major_pallas_jit(words, byte_len)
+
+
+def _hash_words_major_pallas_impl(words: jnp.ndarray, byte_len: int,
+                                  interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -241,6 +250,10 @@ def _hash_words_major_pallas(words: jnp.ndarray, byte_len: int,
         interpret=interpret,
     )(m3)
     return out.reshape(8, n)
+
+
+_hash_words_major_pallas_jit = partial(
+    jax.jit, static_argnames=("byte_len",))(_hash_words_major_pallas_impl)
 
 
 @partial(jax.jit, static_argnames=("byte_len", "unroll"))

@@ -262,6 +262,192 @@ def cached_layouts(line_twiddles, circle_twiddles, n_log: int,
     return hit[0]
 
 
+class InvFftLayouts(NamedTuple):
+    """u-space twiddle tables for the inverse kernel (see `_ifft_large_u`).
+
+    stage1: per u-layer with stride >= chunk: [s1, r2, 128] (s1 = 2^(m-c)),
+            varying along the low-U1 and in-chunk axes, broadcast over the
+            pairing groups.
+    rows:   per in-chunk row layer: [s2, 128] (s2 = 2^(m-7)), chunk-
+            independent.
+    lanes:  per lane layer (transposed view): [2^m, r2] pre-broadcast.
+    """
+
+    stage1: Tuple[jnp.ndarray, ...]
+    rows: Tuple[jnp.ndarray, ...]
+    lanes: Tuple[jnp.ndarray, ...]
+
+
+def prepare_inv_layouts(line_itwiddles: Sequence[jnp.ndarray],
+                        circle_itwiddles: jnp.ndarray, n_log: int,
+                        chunk_log: int) -> InvFftLayouts:
+    """Twiddle tables for the bit-reversed-index-space inverse kernel.
+
+    The inverse DIT order applies element-stride-2^l ibutterflies for
+    l = 0 (circle), 1, ..., n_log-1 -- INCREASING strides, which Mosaic
+    compiles ~7x slower than decreasing chains (measured round 4).  Under
+    the full bit-reverse permutation u = rev(r), layer l becomes u-stride
+    2^(n_log-1-l) -- a DECREASING, forward-structured schedule -- and its
+    twiddle index g = r >> (l+1) becomes rev_m(u mod 2^m): i.e. the table
+    varies along the STRIDE axis (bit-reverse-permuted) and is constant
+    across pairing groups.  The array is bit-reversed before and after the
+    kernel with the cheap XLA gather-pair (ops/fft.bit_reverse, ~0.5 ms at
+    2^24).
+    """
+    from ...utils import bit_reverse_permutation
+
+    L = n_log
+    r2 = 1 << (chunk_log - LANE_LOG)
+
+    def table(l: int) -> jnp.ndarray:
+        return circle_itwiddles if l == 0 else line_itwiddles[l - 1]
+
+    stage1 = []
+    rows = []
+    lanes = []
+    for l in range(L):
+        m = L - 1 - l
+        perm = bit_reverse_permutation(m)
+        tp = jnp.take(table(l), jnp.asarray(perm), axis=0)
+        if m >= chunk_log:
+            stage1.append(tp.reshape(1 << (m - chunk_log), r2, 128))
+        elif m >= LANE_LOG:
+            rows.append(tp.reshape(1 << (m - LANE_LOG), 128))
+        else:
+            # pre-broadcast along the transposed view's lane axis (tiny)
+            lanes.append(jnp.broadcast_to(tp[:, None], (1 << m, r2)))
+    return InvFftLayouts(tuple(stage1), tuple(rows), tuple(lanes))
+
+
+def _ibf(v0, v1, t):
+    return _add(v0, v1), _mul(_sub(v0, v1), t)
+
+
+@partial(jax.jit,
+         static_argnames=("n_log", "chunk_log", "scale_n_inv", "interpret"))
+def _ifft_large_u_impl(values3, layouts: InvFftLayouts, n_log: int,
+                       chunk_log: int, scale_n_inv: bool, interpret: bool):
+    """Inverse CFFT on bit-reversed-index data: values3 u32[B, n1, r2, 128]
+    indexed by u = rev(r); returns the same layout (still u-indexed)."""
+    b, n1, r2, _ = values3.shape
+    n = 1 << n_log
+    n_inv = pow(n, P - 2, P)
+    s1_tabs = layouts.stage1
+    row_tabs = layouts.rows
+    lane_tabs = layouts.lanes
+    n_s1 = len(s1_tabs)
+    n_row = len(row_tabs)
+    n_lane = len(lane_tabs)
+
+    def stage1_body(vals_ref, *rest):
+        t_refs = rest[:n_s1]
+        out_ref = rest[-1]
+        v = vals_ref[0]  # [n1, 8, 128]
+        for tref in t_refs:  # u-strides n1/2 ... 1 on the leading axis
+            s1 = tref.shape[0]
+            g = n1 // (2 * s1)
+            x = v.reshape(g, 2, s1, 8, 128)
+            o0, o1 = _ibf(x[:, 0], x[:, 1], tref[...])
+            v = jnp.concatenate([o0[:, None], o1[:, None]],
+                                axis=1).reshape(n1, 8, 128)
+        out_ref[0] = v
+
+    def stage2_body(vals_ref, *rest):
+        r_refs = rest[:n_row]
+        l_refs = rest[n_row:n_row + n_lane]
+        out_ref = rest[-1]
+        v = vals_ref[0, 0]  # [r2, 128]
+        for tref in r_refs:  # row layers, strides r2/2 ... 1
+            s2 = tref.shape[0]
+            g = r2 // (2 * s2)
+            x = v.reshape(g, 2, s2, 128)
+            o0, o1 = _ibf(x[:, 0], x[:, 1], tref[...])
+            v = jnp.concatenate([o0[:, None], o1[:, None]],
+                                axis=1).reshape(r2, 128)
+        w = v.T  # [128, r2]
+        for tref in l_refs:  # lane layers on the transposed view
+            s = tref.shape[0]
+            g = 128 // (2 * s)
+            x = w.reshape(g, 2, s, r2)
+            o0, o1 = _ibf(x[:, 0], x[:, 1], tref[...])
+            w = jnp.concatenate([o0[:, None], o1[:, None]],
+                                axis=1).reshape(128, r2)
+        v = w.T
+        if scale_n_inv:
+            v = _mul(v, jnp.uint32(n_inv))
+        out_ref[0, 0] = v
+
+    def run_stage1(v3):
+        return pl.pallas_call(
+            stage1_body,
+            out_shape=jax.ShapeDtypeStruct((b, n1, r2, 128), jnp.uint32),
+            grid=(b, r2 // 8),
+            in_specs=[pl.BlockSpec((1, n1, 8, 128),
+                                   lambda bi, g: (bi, 0, g, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec((t.shape[0], 8, 128), lambda bi, g: (0, g, 0),
+                            memory_space=pltpu.VMEM) for t in s1_tabs],
+            out_specs=pl.BlockSpec((1, n1, 8, 128),
+                                   lambda bi, g: (bi, 0, g, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(v3, *s1_tabs)
+
+    def run_stage2(v3):
+        tspecs = ([pl.BlockSpec(t.shape, lambda bi, r: (0, 0),
+                                memory_space=pltpu.VMEM) for t in row_tabs]
+                  + [pl.BlockSpec(t.shape, lambda bi, r: (0, 0),
+                                  memory_space=pltpu.VMEM)
+                     for t in lane_tabs])
+        return pl.pallas_call(
+            stage2_body,
+            out_shape=jax.ShapeDtypeStruct((b, n1, r2, 128), jnp.uint32),
+            grid=(b, n1),
+            in_specs=[pl.BlockSpec((1, 1, r2, 128),
+                                   lambda bi, r: (bi, r, 0, 0),
+                                   memory_space=pltpu.VMEM)] + tspecs,
+            out_specs=pl.BlockSpec((1, 1, r2, 128),
+                                   lambda bi, r: (bi, r, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(v3, *row_tabs, *lane_tabs)
+
+    # u-space schedule: stage1 (big u-strides, = element layers 0..) first
+    v3 = run_stage1(values3)
+    v3 = run_stage2(v3)
+    return v3
+
+
+def _stockham_istep(v, t_compact, copies):
+    """One inverse (Stockham autosort) butterfly step on v[R, ...]:
+    pair ADJACENT leading rows, write results to the two halves.
+
+    Equivalent to the strided ibutterfly layer with stride 2^k when the
+    rows carry the rotate-right-by-k permutation of the original index
+    (each step rotates by one more; after log2(R) steps the rotation is
+    the identity, so the final output is back in natural order).  The
+    compact per-group twiddle table is tiled `copies` times along the
+    leading axis in-register -- t'[h*G + l] = t[l].
+
+    Why: Mosaic compiles INCREASING-stride butterfly chains ~7x slower
+    than decreasing ones (measured 10.2 vs 1.5 ms for the same 9 layers
+    at 2^24, round 4); the classic inverse DIT order is
+    smallest-stride-first, so the naive inverse kernel hit exactly that.
+    Stockham keeps every step stride-1.
+    """
+    r = v.shape[0]
+    y = v.reshape(r // 2, 2, *v.shape[1:])
+    v0 = y[:, 0]
+    v1 = y[:, 1]
+    if copies > 1:
+        t = jnp.broadcast_to(t_compact[None],
+                             (copies,) + t_compact.shape)
+        t = t.reshape(copies * t_compact.shape[0], *t_compact.shape[1:])
+    else:
+        t = t_compact
+    return jnp.concatenate([_add(v0, v1), _mul(_sub(v0, v1), t)], axis=0)
+
+
 def _axis0_butterfly(v, stride, t, inverse):
     """Butterfly pairing leading-axis indices r ^ stride of v[R, 8, 128];
     t is [groups, 1, 1, 1]."""
@@ -338,18 +524,22 @@ def _fft_large_impl(values3, layouts: FftLayouts, n_log: int, chunk_log: int,
             w = _row_butterfly(w, 1, circ_ref[0][:, None, :], False)
             out_ref[0, 0] = w.T
         else:
-            w = v.T
-            w = _row_butterfly(w, 1, circ_ref[0][:, None, :], True)
-            for i, tref in enumerate(reversed(cl_refs)):
-                l = i + 1
-                g = 1 << (LANE_LOG - 1 - l)
-                w = _row_butterfly(w, 1 << l,
-                                   tref[0][0:g][:, None, :], True)
-            v = w.T
-            for i, tref in enumerate(reversed(ch_refs)):
-                l = LANE_LOG + i
-                g = 1 << (chunk_log - 1 - l)
-                v = _row_butterfly(v, 1 << i, row_t(tref, g), True)
+            # Stockham steps (see _stockham_istep): every inverse layer is
+            # a stride-1 pairing; after all steps of a section the row
+            # rotation is the identity, so no reordering is needed.
+            w = v.T  # [128, r2]
+            w = _stockham_istep(w, circ_ref[0], 1)  # circle layer (k=0)
+            for k in range(1, LANE_LOG):
+                g = 1 << (LANE_LOG - 1 - k)
+                w = _stockham_istep(w, cl_refs[LANE_LOG - 1 - k][0][0:g],
+                                    1 << k)
+            v = w.T  # [r2, 128]
+            for k in range(n_ch):
+                g = 1 << (chunk_log - 1 - (LANE_LOG + k))
+                # compact [g, 1]: sublane-tile in the step, lane-broadcast
+                # implicitly in the multiply (Mosaic cannot broadcast both
+                # dims in one op)
+                v = _stockham_istep(v, ch_refs[n_ch - 1 - k][0][0:g], 1 << k)
             out_ref[0, 0] = v
 
     def run_stage1(v3):
@@ -397,6 +587,33 @@ def _fft_large_impl(values3, layouts: FftLayouts, n_log: int, chunk_log: int,
     return v3
 
 
+def cached_inv_layouts(line_itwiddles, circle_itwiddles, n_log: int,
+                       chunk_log: int) -> InvFftLayouts:
+    """id-keyed LRU of prepare_inv_layouts (same policy as cached_layouts)."""
+    if isinstance(circle_itwiddles, jax.core.Tracer) or any(
+            isinstance(t, jax.core.Tracer) for t in line_itwiddles):
+        return prepare_inv_layouts(line_itwiddles, circle_itwiddles, n_log,
+                                   chunk_log)
+    key = ("inv", tuple(id(t) for t in line_itwiddles),
+           id(circle_itwiddles), n_log, chunk_log)
+    hit = _LAYOUT_CACHE.get(key)
+    if hit is not None:
+        _LAYOUT_CACHE.move_to_end(key)
+    if hit is None:
+        layouts = prepare_inv_layouts(line_itwiddles, circle_itwiddles,
+                                      n_log, chunk_log)
+        if any(isinstance(a, jax.core.Tracer)
+               for a in jax.tree_util.tree_leaves(layouts)):
+            return layouts
+        layouts = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a).block_until_ready(), layouts)
+        hit = (layouts, (tuple(line_itwiddles), circle_itwiddles))
+        _LAYOUT_CACHE[key] = hit
+        while len(_LAYOUT_CACHE) > _LAYOUT_CACHE_MAX:
+            _LAYOUT_CACHE.popitem(last=False)
+    return hit[0]
+
+
 def fft_large(values: jnp.ndarray, line_twiddles: Sequence[jnp.ndarray],
               circle_twiddles: jnp.ndarray, n_log: int,
               chunk_log: int = 16, inverse: bool = False,
@@ -405,12 +622,17 @@ def fft_large(values: jnp.ndarray, line_twiddles: Sequence[jnp.ndarray],
     """Whole CFFT in two grid passes for 2^n_log values, n_log > chunk_log.
 
     values: u32[..., 2^n_log]; leading axes run as a native batch grid
-    dimension.  The inverse includes the 1/N scaling fused into the stage-1
-    write unless scale_n_inv=False (drop-in for
-    ops.fft.ifft_bitrev_to_natural, which leaves the scaling to the caller).
-    Requires chunk_log >= 14 (stage-2 twiddle tables need r2 = n2/128 to be
-    a multiple of 128 lanes) and n_log > chunk_log.
+    dimension.  The inverse runs in bit-reversed index space (see
+    prepare_inv_layouts: Mosaic compiles the increasing-stride inverse
+    order ~7x slower, so the kernel is forward-structured under u=rev(r)
+    with two cheap XLA bit-reverses around it) and includes the 1/N
+    scaling unless scale_n_inv=False (drop-in for
+    ops.fft.ifft_bitrev_to_natural, which leaves the scaling to the
+    caller).  Requires chunk_log >= 14 (stage-2 twiddle tables need
+    r2 = n2/128 to be a multiple of 128 lanes) and n_log > chunk_log.
     """
+    from .. import fft as fft_mod
+
     n = 1 << n_log
     if values.shape[-1] != n:
         raise ValueError("size mismatch")
@@ -419,6 +641,14 @@ def fft_large(values: jnp.ndarray, line_twiddles: Sequence[jnp.ndarray],
     n1 = 1 << (n_log - chunk_log)
     r2 = 1 << (chunk_log - LANE_LOG)
     lead = values.shape[:-1]
+    if inverse:
+        inv_layouts = cached_inv_layouts(line_twiddles, circle_twiddles,
+                                         n_log, chunk_log)
+        u = fft_mod.bit_reverse(values, n_log)
+        v3 = u.reshape(-1, n1, r2, 128)
+        out = _ifft_large_u_impl(v3, inv_layouts, n_log, chunk_log,
+                                 scale_n_inv, interpret)
+        return fft_mod.bit_reverse(out.reshape(*lead, n), n_log)
     layouts = cached_layouts(line_twiddles, circle_twiddles, n_log,
                              chunk_log)
     v3 = values.reshape(-1, n1, r2, 128)

@@ -189,6 +189,11 @@ class CommitmentSchemeProver:
 
         oods_span = span("evaluate_columns_out_of_domain")
         oods_span.__enter__()
+        from ..poly.circle_poly import eval_columns_at_point_deferred
+        from ..utils import FetchBatch
+
+        oods_batch = FetchBatch()
+        pending = []  # (tree_samples, point, members, thunk)
         samples = TreeVec()
         for tree, tree_points in zip(self.trees, sampled_points):
             tree_samples = [[None] * len(points)
@@ -202,10 +207,14 @@ class CommitmentSchemeProver:
             for (log_size, _, _), (point, members) in groups.items():
                 stack = jnp.stack(
                     [tree.polynomials[ci].coeffs for ci, _ in members])
-                values = eval_columns_at_point(stack, point, log_size)
-                for (ci, pi), v in zip(members, values):
-                    tree_samples[ci][pi] = PointSample(point, v)
+                thunk = eval_columns_at_point_deferred(stack, point,
+                                                       log_size, oods_batch)
+                pending.append((tree_samples, point, members, thunk))
             samples.append(tree_samples)
+        oods_batch.materialize()  # ONE transfer for every sampled value
+        for tree_samples, point, members, thunk in pending:
+            for (ci, pi), v in zip(members, thunk()):
+                tree_samples[ci][pi] = PointSample(point, v)
         sampled_values = TreeVec(
             [[s.value for s in col] for col in tree] for tree in samples)
         channel.mix_felts(

@@ -89,9 +89,12 @@ def prove(components: List, channel,
     trace = commitment_scheme.trace()
 
     # Evaluate and commit the composition polynomial.
+    from .tracing import span
+
     random_coeff = channel.draw_felt()
-    composition_poly = component_provers.compute_composition_polynomial(
-        random_coeff, trace, commitment_scheme.twiddles)
+    with span("composition"):
+        composition_poly = component_provers.compute_composition_polynomial(
+            random_coeff, trace, commitment_scheme.twiddles)
     tree_builder = commitment_scheme.tree_builder()
     tree_builder.extend_polys(composition_poly.coordinate_polys())
     tree_builder.commit(channel)

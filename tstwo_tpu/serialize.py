@@ -134,3 +134,94 @@ def channel_state_from_dict(d: Dict[str, Any]) -> Blake2sChannel:
         digest=bytes.fromhex(d["digest"]),
         channel_time=ChannelTime(d["n_challenges"], d["n_sent"]),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mid-prove phase checkpointing (SURVEY.md section 5 checkpoint/resume;
+# VERDICT r3 next-round #9)
+#
+# A long multi-host prove has two expensive device phases separated by
+# cheap host-side transcript steps: the commit phase (extension CFFTs +
+# Merkle trees per committed tree) and the opening phase (quotients / FRI /
+# decommitment).  `save_prover_checkpoint` snapshots everything the
+# opening phase needs -- the Fiat-Shamir transcript state plus every
+# committed tree's polynomials, evaluations and device-resident Merkle
+# layers -- into one .npz; `load_prover_checkpoint` restores a
+# CommitmentSchemeProver that continues to a byte-identical proof without
+# re-running any committed work.
+# ---------------------------------------------------------------------------
+
+def prover_checkpoint_arrays(scheme, channel):
+    """(meta dict, {name: numpy array}) snapshot of a CommitmentSchemeProver
+    with N committed trees + the channel state."""
+    import numpy as np
+
+    meta: Dict[str, Any] = {
+        "channel": channel_state_to_dict(channel),
+        "config": {
+            "pow_bits": scheme.config.pow_bits,
+            "fri": [scheme.config.fri_config.log_last_layer_degree_bound,
+                    scheme.config.fri_config.log_blowup_factor,
+                    scheme.config.fri_config.n_queries],
+        },
+        "trees": [],
+    }
+    arrays: Dict[str, Any] = {}
+    for ti, tree in enumerate(scheme.trees):
+        tmeta = {"poly_logs": [p.log_size() for p in tree.polynomials],
+                 "eval_logs": [ev.domain.log_size()
+                               for ev in tree.evaluations],
+                 "n_layers": len(tree.commitment.layers)}
+        meta["trees"].append(tmeta)
+        for pi, poly in enumerate(tree.polynomials):
+            arrays[f"t{ti}_p{pi}"] = np.asarray(poly.coeffs)
+        for ei, ev in enumerate(tree.evaluations):
+            arrays[f"t{ti}_e{ei}"] = np.asarray(ev.values)
+        for li, layer in enumerate(tree.commitment.layers):
+            arrays[f"t{ti}_l{li}"] = np.asarray(layer)
+    return meta, arrays
+
+
+def save_prover_checkpoint(path: str, scheme, channel) -> None:
+    import json
+
+    import numpy as np
+
+    meta, arrays = prover_checkpoint_arrays(scheme, channel)
+    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+
+
+def load_prover_checkpoint(path: str, twiddles):
+    """Restore (scheme, channel); `twiddles` is the same TwiddleTree a
+    fresh prove would precompute (deterministic from the domain sizes)."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .circle import CanonicCoset
+    from .pcs.prover import (CommitmentSchemeProver, CommitmentTreeProver)
+    from .poly.circle_poly import CircleEvaluation, CirclePoly
+    from .vcs.prover import MerkleProver
+
+    data = np.load(path)
+    meta = json.loads(str(data["__meta__"]))
+    channel = channel_state_from_dict(meta["channel"])
+    cfg = PcsConfig(meta["config"]["pow_bits"],
+                    FriConfig(*meta["config"]["fri"]))
+    scheme = CommitmentSchemeProver(cfg, twiddles)
+    for ti, tmeta in enumerate(meta["trees"]):
+        tree = CommitmentTreeProver.__new__(CommitmentTreeProver)
+        tree.polynomials = [
+            CirclePoly(jnp.asarray(data[f"t{ti}_p{pi}"]))
+            for pi in range(len(tmeta["poly_logs"]))]
+        tree.evaluations = [
+            CircleEvaluation(
+                CanonicCoset.new(log).circle_domain(),
+                jnp.asarray(data[f"t{ti}_e{ei}"]))
+            for ei, log in enumerate(tmeta["eval_logs"])]
+        tree.commitment = MerkleProver(
+            [jnp.asarray(data[f"t{ti}_l{li}"])
+             for li in range(tmeta["n_layers"])])
+        scheme.trees.append(tree)
+    return scheme, channel

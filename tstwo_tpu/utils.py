@@ -88,6 +88,35 @@ def to_host(x) -> np.ndarray:
     return np.asarray(x)
 
 
+def padded_take(arr, positions, axis: int, batch: "FetchBatch"):
+    """Deferred `jnp.take` with the index count padded to the next power
+    of two (edge-repeated), returning a thunk for the UNpadded numpy
+    result after batch.materialize().
+
+    Why: decommitment gather lengths depend on the (channel-drawn) query
+    structure, so every new proof produced fresh gather shapes and an XLA
+    recompile -- ~10 s of the 12 s logup prove through the tunnel
+    (measured round 4, scripts/measure_spans.py).  Bucketing the index
+    length to powers of two makes the shapes proof-independent after
+    warmup."""
+    import jax.numpy as jnp
+
+    n = len(positions)
+    cap = 1 << max(0, (n - 1).bit_length())
+    idx = np.asarray(list(positions) + [positions[-1]] * (cap - n),
+                     dtype=np.int64)
+    handle = batch.defer(jnp.take(jnp.asarray(arr), jnp.asarray(idx),
+                                  axis=axis))
+
+    def get() -> np.ndarray:
+        vals = handle.get()
+        sl = [slice(None)] * vals.ndim
+        sl[axis] = slice(0, n)
+        return vals[tuple(sl)]
+
+    return get
+
+
 class FetchBatch:
     """Defer device->host transfers and materialize them in ONE fetch.
 

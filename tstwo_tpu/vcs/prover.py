@@ -226,27 +226,28 @@ class MerkleProver:
         # ---- phase 2: deferred batched device gathers ----------------------
         # one gather for the child hashes, one for ALL columns of the layer
         # (stacked), per layer; every gather lands in the shared FetchBatch
+        from ..utils import padded_take
+
         for plan in layer_plans:
             log = plan["log"]
             if plan["hash_idxs"]:
                 child = self.layers[log + 1]
-                idx = jnp.asarray(np.array(plan["hash_idxs"], dtype=np.int64))
-                plan["_hashes_h"] = batch.defer(jnp.take(child, idx, axis=1))
+                plan["_hashes_h"] = padded_take(child, plan["hash_idxs"], 1,
+                                                batch)
             if plan["node_idxs"] and plan["cols"]:
-                idx = jnp.asarray(np.array(plan["node_idxs"], dtype=np.int64))
                 stacked = (plan["cols"][0][None, :] if len(plan["cols"]) == 1
                            else jnp.stack(plan["cols"]))
-                plan["_values_h"] = batch.defer(jnp.take(stacked, idx,
-                                                         axis=-1))
+                plan["_values_h"] = padded_take(stacked, plan["node_idxs"],
+                                                -1, batch)
 
         # ---- phase 3: canonical-order assembly (after materialize) --------
         def finish() -> Tuple[List[M31], MerkleDecommitment]:
             queried: List[M31] = []
             dec = MerkleDecommitment()
             for plan in layer_plans:
-                hashes = (plan["_hashes_h"].get()
+                hashes = (plan["_hashes_h"]()
                           if "_hashes_h" in plan else None)
-                gathered = (plan["_values_h"].get()
+                gathered = (plan["_values_h"]()
                             if "_values_h" in plan else None)
                 values = ([gathered[k] for k in range(gathered.shape[0])]
                           if gathered is not None else [])
