@@ -163,15 +163,56 @@ class InsufficientWitnessError(Exception):
     pass
 
 
+class WitnessGatherPool:
+    """Pools witness-value gathers from many [4, n] arrays into ONE
+    concat + ONE take (each eager gather pays the ~2.3 ms tunnel dispatch
+    floor; a FRI decommit issues one per layer -- ~17 of them)."""
+
+    def __init__(self, batch):
+        self.batch = batch
+        self._arrays = []
+        self._total = 0
+        self._positions: List[int] = []
+        self._thunk = None
+
+    def add(self, values, positions: Sequence[int]):
+        """Register gather values[:, positions]; returns thunk -> np [4, k]."""
+        off = self._total
+        self._arrays.append(jnp.asarray(values))
+        self._total += int(self._arrays[-1].shape[-1])
+        start = len(self._positions)
+        count = len(positions)
+        self._positions.extend(off + p for p in positions)
+        pool = self
+
+        def get():
+            if pool._thunk is None:
+                raise RuntimeError("WitnessGatherPool not sealed")
+            return pool._thunk()[:, start:start + count]
+
+        return get
+
+    def seal(self) -> None:
+        from .utils import padded_take
+
+        if not self._arrays or self._thunk is not None:
+            return
+        cat = (jnp.concatenate(self._arrays, axis=-1)
+               if len(self._arrays) > 1 else self._arrays[0])
+        self._thunk = padded_take(cat, self._positions, -1, self.batch)
+
+
 def compute_decommitment_positions_and_witness_evals(
-    values, query_positions: Sequence[int], fold_step: int, batch=None
+    values, query_positions: Sequence[int], fold_step: int, batch=None,
+    pool: Optional[WitnessGatherPool] = None
 ) -> Tuple[List[int], List[QM31]]:
     """reference fri.ts:346-384.  values: uint32[4, n] (device or numpy).
 
     Only the query-adjacent positions are fetched from the device (one
     small gather), never the whole column.  With `batch` (utils.FetchBatch)
     the gather is deferred and the second return value is a thunk yielding
-    the witness evals after batch.materialize().
+    the witness evals after batch.materialize(); with `pool` the gather
+    additionally coalesces with the other layers' into one take.
     """
     decommitment_positions: List[int] = []
     witness_positions: List[int] = []
@@ -197,6 +238,9 @@ def compute_decommitment_positions_and_witness_evals(
             return [QM31.from_ints(vals[:, k].tolist())
                     for k in range(vals.shape[1])]
 
+        if pool is not None:
+            thunk = pool.add(values, witness_positions)
+            return decommitment_positions, lambda: _build(thunk())
         if batch is not None:
             from .utils import padded_take
 
@@ -279,11 +323,13 @@ class FriFirstLayerProver:
         from .utils import FetchBatch
 
         batch = FetchBatch()
-        finish = self.decommit_deferred(queries, batch)
+        pool = WitnessGatherPool(batch)
+        finish = self.decommit_deferred(queries, batch, pool)
+        pool.seal()
         batch.materialize()
         return finish()
 
-    def decommit_deferred(self, queries: Queries, batch):
+    def decommit_deferred(self, queries: Queries, batch, pool=None):
         witness_thunks = []
         positions_by_log: Dict[int, List[int]] = {}
         for se in self.columns:
@@ -291,7 +337,7 @@ class FriFirstLayerProver:
             column_queries = queries.fold(queries.log_domain_size - log)
             positions, thunk = compute_decommitment_positions_and_witness_evals(
                 se.values, column_queries.positions,
-                CIRCLE_TO_LINE_FOLD_STEP, batch)
+                CIRCLE_TO_LINE_FOLD_STEP, batch, pool)
             positions_by_log[log] = positions
             witness_thunks.append(thunk)
         coord_cols = [c for se in self.columns for c in se.columns()]
@@ -325,13 +371,16 @@ class FriInnerLayerProver:
         from .utils import FetchBatch
 
         batch = FetchBatch()
-        finish = self.decommit_deferred(queries, batch)
+        pool = WitnessGatherPool(batch)
+        finish = self.decommit_deferred(queries, batch, pool)
+        pool.seal()
         batch.materialize()
         return finish()
 
-    def decommit_deferred(self, queries: Queries, batch):
+    def decommit_deferred(self, queries: Queries, batch, pool=None):
         positions, thunk = compute_decommitment_positions_and_witness_evals(
-            self.evaluation.values, list(queries.positions), FOLD_STEP, batch)
+            self.evaluation.values, list(queries.positions), FOLD_STEP,
+            batch, pool)
         log = self.evaluation.domain.log_size()
         cols = [self.evaluation.values[i] for i in range(4)]
         merkle_fin = self.merkle_tree.decommit_deferred({log: positions},
@@ -574,12 +623,17 @@ class FriProver:
         queries = Queries.generate(channel, max_log, self.config.n_queries)
         positions = get_query_positions_by_log_size(
             queries, set(self.first_layer.column_log_sizes()))
-        first_fin = self.first_layer.decommit_deferred(queries, batch)
+        # one pooled take for every layer's witness values (one eager
+        # gather per layer paid the tunnel dispatch floor ~17x)
+        pool = WitnessGatherPool(batch)
+        first_fin = self.first_layer.decommit_deferred(queries, batch, pool)
         inner_fins = []
         layer_queries = queries.fold(CIRCLE_TO_LINE_FOLD_STEP)
         for layer in self.inner_layers:
-            inner_fins.append(layer.decommit_deferred(layer_queries, batch))
+            inner_fins.append(layer.decommit_deferred(layer_queries, batch,
+                                                      pool))
             layer_queries = layer_queries.fold(FOLD_STEP)
+        pool.seal()
 
         def finish() -> FriProof:
             if materialize:
@@ -593,12 +647,15 @@ class FriProver:
         from .utils import FetchBatch
 
         batch = FetchBatch()
-        first_fin = self.first_layer.decommit_deferred(queries, batch)
+        pool = WitnessGatherPool(batch)
+        first_fin = self.first_layer.decommit_deferred(queries, batch, pool)
         inner_fins = []
         layer_queries = queries.fold(CIRCLE_TO_LINE_FOLD_STEP)
         for layer in self.inner_layers:
-            inner_fins.append(layer.decommit_deferred(layer_queries, batch))
+            inner_fins.append(layer.decommit_deferred(layer_queries, batch,
+                                                      pool))
             layer_queries = layer_queries.fold(FOLD_STEP)
+        pool.seal()
         batch.materialize()
         return FriProof(first_fin(), [f() for f in inner_fins],
                         self.last_layer_poly)

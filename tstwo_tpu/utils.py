@@ -88,79 +88,6 @@ def to_host(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def padded_take(arr, positions, axis: int, batch: "FetchBatch"):
-    """Deferred `jnp.take` with the index count padded to the next power
-    of two (edge-repeated), returning a thunk for the UNpadded numpy
-    result after batch.materialize().
-
-    Why: decommitment gather lengths depend on the (channel-drawn) query
-    structure, so every new proof produced fresh gather shapes and an XLA
-    recompile -- ~10 s of the 12 s logup prove through the tunnel
-    (measured round 4, scripts/measure_spans.py).  Bucketing the index
-    length to powers of two makes the shapes proof-independent after
-    warmup."""
-    import jax.numpy as jnp
-
-    n = len(positions)
-    cap = 1 << max(0, (n - 1).bit_length())
-    idx = np.asarray(list(positions) + [positions[-1]] * (cap - n),
-                     dtype=np.int64)
-    handle = batch.defer(jnp.take(jnp.asarray(arr), jnp.asarray(idx),
-                                  axis=axis))
-
-    def get() -> np.ndarray:
-        vals = handle.get()
-        sl = [slice(None)] * vals.ndim
-        sl[axis] = slice(0, n)
-        return vals[tuple(sl)]
-
-    return get
-
-
-class FetchBatch:
-    """Defer device->host transfers and materialize them in ONE fetch.
-
-    The TPU tunnel charges a full round trip per *blocking* transfer, so N
-    small decommit gathers cost N RTTs when fetched one by one.  Deferring
-    them, concatenating the flattened uint32 buffers on device, and pulling
-    the result with a single transfer costs one RTT regardless of N.
-    """
-
-    def __init__(self):
-        self._pending = []
-        self._values = None
-
-    def defer(self, arr):
-        """Register a device uint32 array; returns a handle whose .get()
-        yields the numpy value after materialize()."""
-        if self._values is not None:
-            raise RuntimeError("FetchBatch already materialized")
-        idx = len(self._pending)
-        self._pending.append(arr)
-        batch = self
-
-        class _Handle:
-            def get(self):
-                if batch._values is None:
-                    raise RuntimeError("materialize() not called")
-                return batch._values[idx]
-
-        return _Handle()
-
-    def materialize(self) -> None:
-        import jax.numpy as jnp
-
-        if self._values is not None:
-            return
-        if not self._pending:
-            self._values = []
-            return
-        flats = [jnp.ravel(a).astype(jnp.uint32) for a in self._pending]
-        host = to_host(jnp.concatenate(flats) if len(flats) > 1
-                       else flats[0])
-        out, off = [], 0
-        for a in self._pending:
-            n = int(np.prod(a.shape)) if a.ndim else 1
-            out.append(host[off:off + n].reshape(a.shape))
-            off += n
-        self._values = out
+# FetchBatch + padded_take live in utils_fetch.py (deferred transfers AND
+# deferred gathers, fused into one dispatch + one fetch at materialize).
+from .utils_fetch import FetchBatch, padded_take  # noqa: E402,F401

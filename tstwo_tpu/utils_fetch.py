@@ -1,0 +1,120 @@
+"""FetchBatch: deferred device->host transfers (one RTT for any number
+of registered arrays) + bucketed deferred gathers.
+
+Split from utils.py for readability; re-exported there.
+
+The TPU tunnel charges a full round trip per *blocking* transfer, so N
+small decommit gathers cost N RTTs when fetched one by one; deferring
+them and pulling one concatenated uint32 buffer costs one.  The gathers
+themselves dispatch eagerly (async) -- dispatch-count reduction comes
+from gathering per-tree heaps (vcs/prover.decommit_deferred), not from
+fusing all gathers into one jit (tried in round 4: the fused program's
+pytree structure varies per proof and its ~10 s tunnel recompile dwarfed
+the saved dispatch floors).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+
+
+def _to_host(x) -> np.ndarray:
+    from .utils import to_host
+
+    return to_host(x)
+
+
+class FetchBatch:
+    """Defer device->host transfers; materialize with ONE fetch."""
+
+    def __init__(self):
+        self._plain = []   # arrays to fetch, registration order
+        self._order = []   # ("plain", index, shape)
+        self._values: Optional[List[np.ndarray]] = None
+
+    def _check_open(self):
+        if self._values is not None:
+            raise RuntimeError("FetchBatch already materialized")
+
+    def _handle(self, slot):
+        batch = self
+
+        class _Handle:
+            def get(self):
+                if batch._values is None:
+                    raise RuntimeError("materialize() not called")
+                return batch._values[slot]
+
+        return _Handle()
+
+    def defer(self, arr):
+        """Register a device uint32 array; returns a handle whose .get()
+        yields the numpy value after materialize()."""
+        self._check_open()
+        slot = len(self._order)
+        self._plain.append(arr)
+        self._order.append(("plain", len(self._plain) - 1, arr.shape))
+        return self._handle(slot)
+
+    def defer_take(self, arr, idx: np.ndarray):
+        """Register a LAST-AXIS gather arr[..., idx].
+
+        The gather DISPATCHES eagerly (async) but its result is fetched
+        with the batch.  (A round-4 experiment executed all gathers
+        inside one jitted materialize program instead -- one dispatch
+        total -- but the program's pytree structure varies with the
+        proof's bucket multiset and the ~10 s tunnel recompile per fresh
+        structure dwarfed the ~2.3 ms/dispatch it saved.  Dispatch-count
+        reduction comes from gathering per-tree HEAPS instead: see
+        vcs/prover.decommit_deferred.)"""
+        self._check_open()
+        import jax.numpy as jnp
+
+        return self.defer(jnp.take(jnp.asarray(arr), jnp.asarray(idx),
+                                   axis=-1))
+
+    def materialize(self) -> None:
+        import jax.numpy as jnp
+
+        if self._values is not None:
+            return
+        if not self._order:
+            self._values = []
+            return
+        flats = [jnp.ravel(a).astype(jnp.uint32) for a in self._plain]
+        host = _to_host(jnp.concatenate(flats) if len(flats) > 1
+                        else flats[0])
+        values: List[np.ndarray] = []
+        off = 0
+        for _, _, shape in self._order:
+            n = int(np.prod(shape)) if shape else 1
+            values.append(host[off:off + n].reshape(shape))
+            off += n
+        self._values = values
+
+
+def padded_take(arr, positions, axis: int, batch: FetchBatch):
+    """Deferred gather with the index count padded to the next power of
+    two (edge-repeated), returning a thunk for the UNpadded numpy result
+    after batch.materialize().
+
+    Why: decommitment gather lengths depend on the (channel-drawn) query
+    structure, so every new proof produced fresh gather shapes and an XLA
+    recompile -- ~10 s of the 12 s logup prove through the tunnel
+    (measured round 4).  Bucketing makes the shapes proof-independent.
+    Only last-axis gathers are supported (every decommit site is one).
+    """
+    if axis not in (-1, arr.ndim - 1):
+        raise ValueError("padded_take supports last-axis gathers only")
+    n = len(positions)
+    cap = 1 << max(0, (n - 1).bit_length())
+    idx = np.asarray(list(positions) + [positions[-1]] * (cap - n),
+                     dtype=np.int64)
+    handle = batch.defer_take(arr, idx)
+
+    def get() -> np.ndarray:
+        return handle.get()[..., :n]
+
+    return get

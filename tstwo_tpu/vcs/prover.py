@@ -224,21 +224,41 @@ class MerkleProver:
                                         columns)
 
         # ---- phase 2: deferred batched device gathers ----------------------
-        # one gather for the child hashes, one for ALL columns of the layer
-        # (stacked), per layer; every gather lands in the shared FetchBatch
+        # ALL hash-witness gathers of the tree go through ONE take on the
+        # heap-concatenated layers (one extra concat dispatch per tree vs
+        # ~2 dispatches x ~log2(N) layers at the ~2.3 ms tunnel floor --
+        # decommitment was ~0.7 s of eager dispatch at wide-fib, round 4);
+        # column-value gathers stay per layer (usually a single layer
+        # carries columns).
         from ..utils import padded_take
 
+        heap_global: List[int] = []
+        heap_spans = []  # (plan, start, count) in heap_global
+        heap_offsets = {}
+        if len(self.layers) > 1:
+            off = 0
+            for log1, layer in enumerate(self.layers[1:], start=1):
+                heap_offsets[log1] = off
+                off += int(layer.shape[-1])
         for plan in layer_plans:
             log = plan["log"]
             if plan["hash_idxs"]:
-                child = self.layers[log + 1]
-                plan["_hashes_h"] = padded_take(child, plan["hash_idxs"], 1,
-                                                batch)
+                base = heap_offsets[log + 1]
+                start = len(heap_global)
+                heap_global.extend(base + i for i in plan["hash_idxs"])
+                heap_spans.append((plan, start, len(plan["hash_idxs"])))
             if plan["node_idxs"] and plan["cols"]:
                 stacked = (plan["cols"][0][None, :] if len(plan["cols"]) == 1
                            else jnp.stack(plan["cols"]))
                 plan["_values_h"] = padded_take(stacked, plan["node_idxs"],
                                                 -1, batch)
+        if heap_global:
+            heap = (jnp.concatenate(self.layers[1:], axis=1)
+                    if len(self.layers) > 2 else self.layers[1])
+            heap_thunk = padded_take(heap, heap_global, -1, batch)
+            for plan, start, count in heap_spans:
+                plan["_hashes_h"] = (
+                    lambda s=start, c=count: heap_thunk()[:, s:s + c])
 
         # ---- phase 3: canonical-order assembly (after materialize) --------
         def finish() -> Tuple[List[M31], MerkleDecommitment]:
