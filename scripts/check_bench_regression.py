@@ -24,6 +24,16 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def load(path):
     with open(path) as f:
         data = json.load(f)
+    if "metric" not in data and "tail" in data:
+        # driver wrapper format: the bench's one-line JSON is embedded in
+        # the captured stdout tail
+        for line in data["tail"].splitlines():
+            line = line.strip()
+            if line.startswith('{"metric"'):
+                data = json.loads(line)
+                break
+        else:
+            raise ValueError(f"no bench JSON line in {path}")
     flat = {data["metric"]: data["value"]}
     for k, v in data.get("aux", {}).items():
         if k in ("bench_wall_seconds", "spans"):
