@@ -14,6 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# MUST be set before jax import, not just config.update after: once the
+# axon plugin initializes, even XLA:CPU programs compile through the
+# REMOTE compile helper (the "compile machine features don't match host"
+# warnings), where some programs (e.g. the unrolled blake2s compress in
+# pallas interpret mode) hang for minutes; with the env var set first the
+# plugin stays dormant and CPU compiles run locally (~2 s for the same
+# program).  Discovered round 4 after two suite runs "hung" at 54%.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
@@ -30,10 +38,13 @@ jax.config.update("jax_platforms", "cpu")
 # fine -- the global one even persists across rounds -- so configure
 # ours and accept both in the sanity check below.
 _cache_dirs = [
-    os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache"),
     os.path.expanduser("~/.cache/jax_comp_cache"),
 ]
+# Use the SAME directory the axon sitecustomize uses for every non-pytest
+# run: pointing pytest at a repo-local dir forked the cache, so programs
+# long since compiled elsewhere (e.g. the pathological XLA:CPU compile of
+# the unrolled blake2s compress, minutes long) recompiled inside the
+# suite and looked like hangs.
 jax.config.update("jax_compilation_cache_dir", _cache_dirs[0])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -176,7 +176,7 @@ def test_pallas_fft_large_layout_cache_hits():
 import hashlib
 
 
-@pytest.mark.parametrize("n,byte_len", [(2048, 64), (4096, 72), (8192, 32)])
+@pytest.mark.parametrize("n,byte_len", [(1024, 64), (2048, 72)])
 def test_blake2s_pallas_interpret_matches_hashlib(n, byte_len):
     from tstwo_tpu.ops import blake2s
 
@@ -205,7 +205,7 @@ def test_blake2s_pallas_grid_covers_non_pow2_rows():
     produced (the r3 grid bug left the tail uninitialized)."""
     from tstwo_tpu.ops import blake2s
 
-    n = 96 * 128  # r = 96 -> rows must divide 96
+    n = 24 * 128  # r = 24 -> rows must divide 24
     rng = np.random.default_rng(5)
     words = rng.integers(0, 1 << 32, size=(16, n), dtype=np.uint64)
     words = words.astype(np.uint32)

@@ -140,7 +140,7 @@ def compress(h, m, t, is_final):
 # ---------------------------------------------------------------------------
 
 
-def _compress_rows(h, m, t, is_final, unroll=True):
+def _compress_rows(h, m, t, is_final, unroll=True, sigma_arr=None):
     """One block compress on word-major state.
 
     h: list of 8 same-shape arrays; m: list of 16 message-word arrays;
@@ -169,7 +169,7 @@ def _compress_rows(h, m, t, is_final, unroll=True):
         return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
 
     mw = jnp.stack(m)  # [16, ...]; word index is the leading axis
-    sigma = jnp.asarray(_SIGMA_ARR)
+    sigma = jnp.asarray(_SIGMA_ARR) if sigma_arr is None else sigma_arr
 
     def round_body(r, carry):
         v = list(carry)
@@ -189,14 +189,31 @@ def _compress_rows(h, m, t, is_final, unroll=True):
     return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
 
 
-def _wm_kernel(m_ref, out_ref, *, n_blocks, byte_len):
+def _wm_kernel(m_ref, out_ref, *, n_blocks, byte_len, unroll=True):
     h = [jnp.broadcast_to(jnp.uint32(H0[i]), m_ref.shape[1:])
          for i in range(8)]
     for b in range(n_blocks):
         final = b == n_blocks - 1
         t = byte_len if final else (b + 1) * 64
         h = _compress_rows(h, [m_ref[16 * b + i] for i in range(16)], t,
-                           final)
+                           final, unroll=unroll)
+    for i in range(8):
+        out_ref[i] = h[i]
+
+
+def _wm_kernel_fori(m_ref, sigma_ref, out_ref, *, n_blocks, byte_len):
+    """fori-compress kernel variant with SIGMA as an INPUT ref (a traced
+    in-kernel constant table is rejected by pallas_call; used by the
+    interpret path, where the unrolled form hits a pathological multi-
+    minute XLA:CPU compile once n_blocks > 1)."""
+    h = [jnp.broadcast_to(jnp.uint32(H0[i]), m_ref.shape[1:])
+         for i in range(8)]
+    sigma = sigma_ref[...]
+    for b in range(n_blocks):
+        final = b == n_blocks - 1
+        t = byte_len if final else (b + 1) * 64
+        h = _compress_rows(h, [m_ref[16 * b + i] for i in range(16)], t,
+                           final, unroll=False, sigma_arr=sigma)
     for i in range(8):
         out_ref[i] = h[i]
 
@@ -221,15 +238,17 @@ def _pallas_rows(total: int, r: int) -> int:
 def _hash_words_major_pallas(words: jnp.ndarray, byte_len: int,
                              interpret: bool = False):
     if interpret:
-        # eager: jit-of-interpret inlines the unrolled compress into one
-        # XLA:CPU program and hits its multi-minute loop-optimization
-        # pathology (same one the lax.scan docstring below describes)
-        return _hash_words_major_pallas_impl(words, byte_len, interpret)
+        # interpret mode uses the fori-compress kernel variant (SIGMA as a
+        # kernel input): the unrolled form compiles pathologically on
+        # XLA:CPU once n_blocks > 1 (minutes; hung two suite runs, r4)
+        return _hash_words_major_pallas_jit(words, byte_len,
+                                            interpret=True, unroll=False)
     return _hash_words_major_pallas_jit(words, byte_len)
 
 
 def _hash_words_major_pallas_impl(words: jnp.ndarray, byte_len: int,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  unroll: bool = True):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -239,21 +258,35 @@ def _hash_words_major_pallas_impl(words: jnp.ndarray, byte_len: int,
     rows = _pallas_rows(total, r)
     assert r % rows == 0
     m3 = words.reshape(total, r, 128)
-    out = pl.pallas_call(
-        partial(_wm_kernel, n_blocks=n_blocks, byte_len=byte_len),
-        out_shape=jax.ShapeDtypeStruct((8, r, 128), jnp.uint32),
-        grid=(r // rows,),
-        in_specs=[pl.BlockSpec((total, rows, 128), lambda g: (0, g, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((8, rows, 128), lambda g: (0, g, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(m3)
+    if unroll:
+        out = pl.pallas_call(
+            partial(_wm_kernel, n_blocks=n_blocks, byte_len=byte_len),
+            out_shape=jax.ShapeDtypeStruct((8, r, 128), jnp.uint32),
+            grid=(r // rows,),
+            in_specs=[pl.BlockSpec((total, rows, 128), lambda g: (0, g, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((8, rows, 128), lambda g: (0, g, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(m3)
+    else:
+        out = pl.pallas_call(
+            partial(_wm_kernel_fori, n_blocks=n_blocks, byte_len=byte_len),
+            out_shape=jax.ShapeDtypeStruct((8, r, 128), jnp.uint32),
+            grid=(r // rows,),
+            in_specs=[pl.BlockSpec((total, rows, 128), lambda g: (0, g, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((8, rows, 128), lambda g: (0, g, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(m3, jnp.asarray(_SIGMA_ARR))
     return out.reshape(8, n)
 
 
 _hash_words_major_pallas_jit = partial(
-    jax.jit, static_argnames=("byte_len",))(_hash_words_major_pallas_impl)
+    jax.jit, static_argnames=("byte_len", "interpret", "unroll"))(
+        _hash_words_major_pallas_impl)
 
 
 @partial(jax.jit, static_argnames=("byte_len", "unroll"))

@@ -111,6 +111,16 @@ def domain_line_twiddles(domain_log_size: int, tree: TwiddleTree,
             for l in range(1, domain_log_size)]
 
 
+# id-keyed memo: the layer-1 arrays are stable (cached on the TwiddleTree),
+# and a STABLE circle-twiddle array identity is what lets the Pallas layout
+# caches (ops/pallas/fft_kernels cached_layouts / cached_inv_layouts, also
+# id-keyed) hit.  Without this, every interpolate/evaluate call built a
+# fresh circle array -> layout-cache miss -> ~25 tables re-prepared,
+# re-uploaded and block_until_ready'd per call (~400 ms of the wide-fib
+# extension span, round 4).  Values kept alive by the ref to the source.
+_CIRCLE_MEMO: Dict[int, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+
+
 def circle_layer_twiddles(line_layer1, neg=None) -> jnp.ndarray:
     """Layer-0 (circle-layer) twiddles from layer-1 line twiddles.
 
@@ -119,6 +129,18 @@ def circle_layer_twiddles(line_layer1, neg=None) -> jnp.ndarray:
     [y, -y, -x, x] where [x, y] are the layer-1 pair
     (reference backend/cpu/circle.ts:270-278).
     """
+    import jax as _jax
+
+    cacheable = not isinstance(line_layer1, _jax.core.Tracer)
+    if cacheable:
+        hit = _CIRCLE_MEMO.get(id(line_layer1))
+        if hit is not None:
+            return hit[0]
     x = line_layer1[0::2]
     y = line_layer1[1::2]
-    return jnp.stack([y, m31.neg(y), m31.neg(x), x], axis=-1).reshape(-1)
+    out = jnp.stack([y, m31.neg(y), m31.neg(x), x], axis=-1).reshape(-1)
+    if cacheable and not isinstance(out, _jax.core.Tracer):
+        _CIRCLE_MEMO[id(line_layer1)] = (out, line_layer1)
+        while len(_CIRCLE_MEMO) > 32:
+            _CIRCLE_MEMO.pop(next(iter(_CIRCLE_MEMO)))
+    return out

@@ -94,8 +94,11 @@ class Poseidon252MerkleProver:
     # Layers smaller than this are padded up to it so every small layer of
     # every tree shares ONE compiled shape per structure -- the jitted Hades
     # graph costs ~1 min of XLA CPU compile, so shapes must be contained
-    # (large layers compile once per power-of-two size).
-    PAD = 512
+    # (large layers compile once per power-of-two size).  64 rather than
+    # 512: the padded Hades EXECUTES in proportion to PAD on CPU (~48 s
+    # per small tree at 512, round-4 profile) and 64 still fills half a
+    # TPU vreg row.
+    PAD = 64
 
     @staticmethod
     def _layer(prev, layer_cols):
