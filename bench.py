@@ -222,7 +222,11 @@ def bench_merkle(log_n=22):
 
 def bench_fri_commit(log_n=22):
     """Wall-clock FRI commit (device transcript + final fetch + host
-    last-layer).  Input coeffs vary per run so nothing is cache-served."""
+    last-layer).  Cache-busting is done ON DEVICE: one scalar seed is
+    XOR-ed into the device-resident coefficient array, so each run has
+    fresh inputs without re-uploading 33.5 MB through the tunnel (the r4
+    harness artifact: the host->device upload dominated the timed region
+    ~10x over the actual commit; VERDICT r4 weak #1)."""
     import jax.numpy as jnp
 
     from tstwo_tpu.channel.blake2s import Blake2sChannel
@@ -236,15 +240,20 @@ def bench_fri_commit(log_n=22):
     config = FriConfig(0, 1, 10)
     domain = CanonicCoset.new(log_n).circle_domain()
     tree = precompute_twiddles(domain.half_coset)
+    base = m31_ops.asarray(rng.integers(
+        0, P, size=(4, 1 << (log_n - 1)), dtype=np.uint32))
+
+    @jax.jit
+    def perturb(c, seed):
+        return c.at[0, 0].set(jnp.bitwise_xor(c[0, 0], seed) & jnp.uint32(P))
 
     def one(seed):
-        coeffs = rng.integers(0, P, size=(4, 1 << (log_n - 1)),
-                              dtype=np.uint32)
-        coeffs[0, 0] ^= seed
-        sp = SecureCirclePoly(m31_ops.asarray(coeffs))
-        ev = sp.evaluate(domain)
+        coeffs = perturb(base, jnp.uint32(seed))
+        _fetch(coeffs)  # device-resident, settled before the clock starts
+        sp = SecureCirclePoly(coeffs)
         ch = Blake2sChannel()
         t0 = time.perf_counter()
+        ev = sp.evaluate(domain)
         FriProver.commit(ch, config, [ev], tree)
         return time.perf_counter() - t0
 
@@ -329,30 +338,36 @@ def bench_prove_logup(log_size=16):
 
 def bench_gkr_layers(log_n=20):
     """Device GKR grand-product layer generation over a 2^log_n hypercube:
-    full layer tower (log_n halvings), layers per second."""
+    full layer tower (log_n halvings), layers per second.
+
+    Marginal-time like every other kernel bench: k towers chain serially
+    inside one jit (each tower's input depends on the previous tower's
+    output root, so nothing can be elided or cache-served), and the
+    constant dispatch + ~25 ms tunnel-fetch cost cancels in the delta.
+    The r4 form timed dispatch+fetch per tower and measured the tunnel
+    RTT, not the device (VERDICT r4 weak #4)."""
     import jax.numpy as jnp
 
-    from tstwo_tpu.lookups.gkr import GRAND_PRODUCT, Layer, _gen_layers
-    from tstwo_tpu.lookups.mle import Mle
+    from tstwo_tpu.lookups.gkr import _gp_tower_body
+    from tstwo_tpu.ops import qm31 as qm31_ops
 
     rng = np.random.default_rng(9)
     evals = jnp.asarray(
         rng.integers(0, P, size=(4, 1 << log_n), dtype=np.uint32))
+    n_layers = log_n  # halvings down to one point
 
-    def run(x):
-        layers = _gen_layers(Layer(GRAND_PRODUCT, data=Mle(x)))
-        _fetch(layers[-1].data.evals)  # one real (small) device->host pull
-        return layers
+    def make(k):
+        @jax.jit
+        def chain(x):
+            def body(i, v):
+                outs = _gp_tower_body(v)
+                root = outs[-1]  # [4, 1] grand product
+                return qm31_ops.add(v, jnp.broadcast_to(root, v.shape))
+            return jax.lax.fori_loop(0, k, body, x)
+        return chain
 
-    run(evals)  # compile all sizes
-    best = None
-    for i in range(3):
-        ev = evals.at[0, 0].set(jnp.uint32(i + 1))  # fresh input each run
-        t0 = time.perf_counter()
-        layers = run(ev)
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return len(layers) / best
+    dt = delta_time(make, evals, k1=2)
+    return n_layers / dt
 
 
 def _try(fn, *a, **k):

@@ -7,7 +7,6 @@ across draw_felt calls; Rust discards them, and Rust is ground truth here).
 from __future__ import annotations
 
 import hashlib
-from dataclasses import dataclass, field
 from typing import List, Sequence
 
 from ..fields import M31, P, QM31, SECURE_EXTENSION_DEGREE
@@ -22,21 +21,65 @@ def _blake2s(data: bytes) -> bytes:
     return hashlib.blake2s(data, digest_size=32).digest()
 
 
-@dataclass
 class Blake2sChannel:
     """Digest-chained channel; draw = blake2s(digest || pad32(LE(n_sent)))
-    (reference channel/blake2.ts:211-224)."""
+    (reference channel/blake2.ts:211-224).
 
-    digest: bytes = b"\x00" * 32
-    channel_time: ChannelTime = field(default_factory=ChannelTime)
+    The digest may transiently live ON DEVICE (mix_root_device): Merkle
+    roots are then mixed by a device Blake2s kernel with zero host round
+    trips, and the host bytes are fetched lazily at the next host-side
+    mix/draw — so a commit phase never blocks on the tunnel just to
+    advance the transcript.  Bit-exact either way (ops/blake2s is pinned
+    against hashlib)."""
 
     BYTES_PER_HASH = BLAKE_BYTES_PER_HASH
+
+    def __init__(self, digest: bytes = b"\x00" * 32,
+                 channel_time: ChannelTime = None):
+        self._digest = digest
+        self._device_digest = None  # pending u32[8] device words, or None
+        self.channel_time = channel_time or ChannelTime()
+
+    @property
+    def digest(self) -> bytes:
+        if self._device_digest is not None:
+            import numpy as np
+
+            words = np.asarray(self._device_digest)
+            self._digest = b"".join(
+                int(w).to_bytes(4, "little") for w in words)
+            self._device_digest = None
+        return self._digest
+
+    @digest.setter
+    def digest(self, value: bytes) -> None:
+        self._digest = value
+        self._device_digest = None
+
+    def digest_words_device(self):
+        """Current digest as device u32[8] LE words (no fetch if already
+        device-resident)."""
+        if self._device_digest is not None:
+            return self._device_digest
+        import jax.numpy as jnp
+        import numpy as np
+
+        return jnp.asarray(np.frombuffer(self._digest, dtype="<u4").copy())
 
     def clone(self) -> "Blake2sChannel":
         return Blake2sChannel(
             self.digest,
             ChannelTime(self.channel_time.n_challenges, self.channel_time.n_sent),
         )
+
+    def __eq__(self, other):
+        return (isinstance(other, Blake2sChannel)
+                and self.digest == other.digest
+                and self.channel_time == other.channel_time)
+
+    def __repr__(self):
+        return (f"Blake2sChannel(digest={self.digest!r}, "
+                f"channel_time={self.channel_time!r})")
 
     def _update_digest(self, new_digest: bytes) -> None:
         self.digest = new_digest
@@ -46,6 +89,16 @@ class Blake2sChannel:
     def mix_root(self, root: bytes) -> None:
         """MerkleChannel::mix_root (reference vcs/blake2_merkle.ts:28-32)."""
         self._update_digest(_blake2s(self.digest + root))
+
+    def mix_root_device(self, root_words) -> None:
+        """Mix a device-resident Merkle root (u32[8] LE words) WITHOUT a
+        host round trip: digest' = blake2s(digest || root) runs as an async
+        device kernel; the host bytes are fetched lazily on next access."""
+        from . import device as dev
+
+        digest, _ = dev.mix_root(self.digest_words_device(), root_words)
+        self._device_digest = digest
+        self.channel_time.inc_challenges()
 
     def mix_u32s(self, data: Sequence[int]) -> None:
         payload = b"".join((x & 0xFFFFFFFF).to_bytes(4, "little") for x in data)

@@ -163,48 +163,9 @@ class InsufficientWitnessError(Exception):
     pass
 
 
-class WitnessGatherPool:
-    """Pools witness-value gathers from many [4, n] arrays into ONE
-    concat + ONE take (each eager gather pays the ~2.3 ms tunnel dispatch
-    floor; a FRI decommit issues one per layer -- ~17 of them)."""
-
-    def __init__(self, batch):
-        self.batch = batch
-        self._arrays = []
-        self._total = 0
-        self._positions: List[int] = []
-        self._thunk = None
-
-    def add(self, values, positions: Sequence[int]):
-        """Register gather values[:, positions]; returns thunk -> np [4, k]."""
-        off = self._total
-        self._arrays.append(jnp.asarray(values))
-        self._total += int(self._arrays[-1].shape[-1])
-        start = len(self._positions)
-        count = len(positions)
-        self._positions.extend(off + p for p in positions)
-        pool = self
-
-        def get():
-            if pool._thunk is None:
-                raise RuntimeError("WitnessGatherPool not sealed")
-            return pool._thunk()[:, start:start + count]
-
-        return get
-
-    def seal(self) -> None:
-        from .utils import padded_take
-
-        if not self._arrays or self._thunk is not None:
-            return
-        cat = (jnp.concatenate(self._arrays, axis=-1)
-               if len(self._arrays) > 1 else self._arrays[0])
-        self._thunk = padded_take(cat, self._positions, -1, self.batch)
-
-
 def compute_decommitment_positions_and_witness_evals(
     values, query_positions: Sequence[int], fold_step: int, batch=None,
-    pool: Optional[WitnessGatherPool] = None
+    pool=None
 ) -> Tuple[List[int], List[QM31]]:
     """reference fri.ts:346-384.  values: uint32[4, n] (device or numpy).
 
@@ -239,7 +200,7 @@ def compute_decommitment_positions_and_witness_evals(
                     for k in range(vals.shape[1])]
 
         if pool is not None:
-            thunk = pool.add(values, witness_positions)
+            thunk = pool.take(values, witness_positions)
             return decommitment_positions, lambda: _build(thunk())
         if batch is not None:
             from .utils import padded_take
@@ -309,8 +270,11 @@ class FriFirstLayerProver:
 
         self.columns = columns
         if merkle_tree is None:
-            coord_cols = [c for se in columns for c in se.columns()]
-            merkle_tree = (merkle_ops or Blake2sMerkleOps).commit(coord_cols)
+            # pass each [4, n] coordinate stack as ONE 2-D entry: the
+            # provers expand rows inside their jit, so no eager per-column
+            # slice dispatches hit the tunnel
+            merkle_tree = (merkle_ops or Blake2sMerkleOps).commit(
+                [se.values for se in columns])
         self.merkle_tree = merkle_tree
 
     def column_log_sizes(self) -> List[int]:
@@ -320,10 +284,10 @@ class FriFirstLayerProver:
         return max(self.column_log_sizes())
 
     def decommit(self, queries: Queries) -> FriLayerProof:
-        from .utils import FetchBatch
+        from .utils import FetchBatch, GatherPool
 
         batch = FetchBatch()
-        pool = WitnessGatherPool(batch)
+        pool = GatherPool(batch)
         finish = self.decommit_deferred(queries, batch, pool)
         pool.seal()
         batch.materialize()
@@ -340,9 +304,9 @@ class FriFirstLayerProver:
                 CIRCLE_TO_LINE_FOLD_STEP, batch, pool)
             positions_by_log[log] = positions
             witness_thunks.append(thunk)
-        coord_cols = [c for se in self.columns for c in se.columns()]
         merkle_fin = self.merkle_tree.decommit_deferred(
-            positions_by_log, coord_cols, batch)
+            positions_by_log, [se.values for se in self.columns], batch,
+            pool=pool)
         root_fin = self.merkle_tree.root_deferred(batch)
 
         def finish() -> FriLayerProof:
@@ -363,15 +327,16 @@ class FriInnerLayerProver:
 
         self.evaluation = evaluation
         if merkle_tree is None:
-            cols = [evaluation.values[i] for i in range(4)]
-            merkle_tree = (merkle_ops or Blake2sMerkleOps).commit(cols)
+            # one 2-D [4, n] entry; rows expand inside the prover's jit
+            merkle_tree = (merkle_ops or Blake2sMerkleOps).commit(
+                [evaluation.values])
         self.merkle_tree = merkle_tree
 
     def decommit(self, queries: Queries) -> FriLayerProof:
-        from .utils import FetchBatch
+        from .utils import FetchBatch, GatherPool
 
         batch = FetchBatch()
-        pool = WitnessGatherPool(batch)
+        pool = GatherPool(batch)
         finish = self.decommit_deferred(queries, batch, pool)
         pool.seal()
         batch.materialize()
@@ -382,9 +347,8 @@ class FriInnerLayerProver:
             self.evaluation.values, list(queries.positions), FOLD_STEP,
             batch, pool)
         log = self.evaluation.domain.log_size()
-        cols = [self.evaluation.values[i] for i in range(4)]
-        merkle_fin = self.merkle_tree.decommit_deferred({log: positions},
-                                                        cols, batch)
+        merkle_fin = self.merkle_tree.decommit_deferred(
+            {log: positions}, [self.evaluation.values], batch, pool=pool)
         root_fin = self.merkle_tree.root_deferred(batch)
 
         def finish() -> FriLayerProof:
@@ -614,26 +578,32 @@ class FriProver:
                                                    materialize=True)
         return finish(), positions
 
-    def decommit_deferred(self, channel, batch, materialize: bool = False):
+    def decommit_deferred(self, channel, batch, materialize: bool = False,
+                          pool=None):
         """Plan every layer's gathers into `batch`; finish() assembles the
         FriProof after the batch is materialized (one transfer for the whole
         FRI decommitment — and, sharing the caller's batch, for the Merkle
-        tree decommitments too)."""
+        tree decommitments too).  With a caller-supplied GatherPool, every
+        witness gather AND every layer tree's Merkle gathers coalesce with
+        the commitment trees' into one take per array kind; the caller
+        seals."""
+        from .utils import GatherPool
+
         max_log = self.first_layer.max_column_log_size()
         queries = Queries.generate(channel, max_log, self.config.n_queries)
         positions = get_query_positions_by_log_size(
             queries, set(self.first_layer.column_log_sizes()))
-        # one pooled take for every layer's witness values (one eager
-        # gather per layer paid the tunnel dispatch floor ~17x)
-        pool = WitnessGatherPool(batch)
-        first_fin = self.first_layer.decommit_deferred(queries, batch, pool)
+        local_pool = pool if pool is not None else GatherPool(batch)
+        first_fin = self.first_layer.decommit_deferred(queries, batch,
+                                                       local_pool)
         inner_fins = []
         layer_queries = queries.fold(CIRCLE_TO_LINE_FOLD_STEP)
         for layer in self.inner_layers:
             inner_fins.append(layer.decommit_deferred(layer_queries, batch,
-                                                      pool))
+                                                      local_pool))
             layer_queries = layer_queries.fold(FOLD_STEP)
-        pool.seal()
+        if pool is None:
+            local_pool.seal()
 
         def finish() -> FriProof:
             if materialize:
@@ -644,10 +614,10 @@ class FriProver:
         return finish, positions
 
     def decommit_on_queries(self, queries: Queries) -> FriProof:
-        from .utils import FetchBatch
+        from .utils import FetchBatch, GatherPool
 
         batch = FetchBatch()
-        pool = WitnessGatherPool(batch)
+        pool = GatherPool(batch)
         first_fin = self.first_layer.decommit_deferred(queries, batch, pool)
         inner_fins = []
         layer_queries = queries.fold(CIRCLE_TO_LINE_FOLD_STEP)

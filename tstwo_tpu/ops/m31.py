@@ -55,10 +55,16 @@ def mul(a, b):
     """Exact modular product via 16-bit limbs.
 
     a = ah*2^16 + al, b = bh*2^16 + bl  (ah,bh < 2^15; al,bl < 2^16)
-    a*b = hh*2^32 + (hl+lh)*2^16 + ll, with 2^31 === 1:
+    a*b = hh*2^32 + mid*2^16 + ll, with 2^31 === 1:
       hh*2^32 === 2*hh;  mid*2^16 === (mid>>15) + (mid&0x7fff)*2^16;
       ll === (ll>>31) + (ll&P).
-    Every intermediate fits uint32 exactly.
+    Regrouped into ONE partial reduction + one full reduction (the naive
+    grouping needs two full ones): with a, b < P,
+      u = 2*hh + (mid>>15)                 <= 2^31 - 2   (coupled bound:
+          ah=bh=2^15-1, al=bl=2^16-2 maximizes u at exactly 2^31-2)
+      v = (ll&P) + ((mid&0x7fff)<<16) + (ll>>31)  < 2^32, one fold -> <= 2^31
+    so u + fold(v) < 2^32 exactly.  ~10% fewer VPU ops per butterfly than
+    the double-reduction form (PERF.md section 2 op audit).
     """
     al = a & _MASK16
     ah = a >> 16
@@ -67,10 +73,10 @@ def mul(a, b):
     ll = al * bl                      # < 2^32, exact in uint32
     mid = al * bh + ah * bl           # < 2^32, exact
     hh = ah * bh                      # < 2^30
-    t_mid = (mid >> 15) + ((mid & _MASK15) << 16)   # < 2^31 + 2^17
-    t_hh = hh << 1                                  # < 2^31
-    t_ll = (ll >> 31) + (ll & _P32)                 # < 2^31 + 1
-    return _reduce_u32(_reduce_u32(t_hh + t_ll) + t_mid)
+    u = hh + hh + (mid >> 15)
+    v = (ll & _P32) + ((mid & _MASK15) << 16) + (ll >> 31)
+    v = (v >> 31) + (v & _P32)        # <= 2^31
+    return _reduce_u32(u + v)
 
 
 def square(a):

@@ -43,6 +43,8 @@ LANE_LOG = 7  # 128 lanes
 
 
 def _mul(a, b):
+    """Single-partial-reduction M31 product (same regrouping + overflow
+    proof as ops/m31.mul: u <= 2^31-2, folded v <= 2^31, u+v < 2^32)."""
     _P32 = jnp.uint32(P)
     _MASK16 = jnp.uint32(0xFFFF)
     _MASK15 = jnp.uint32(0x7FFF)
@@ -53,15 +55,12 @@ def _mul(a, b):
     ll = al * bl
     mid = al * bh + ah * bl
     hh = ah * bh
-    t_mid = (mid >> 15) + ((mid & _MASK15) << 16)
-    t_hh = hh << 1
-    t_ll = (ll >> 31) + (ll & _P32)
-
-    def red(x):
-        y = (x >> 31) + (x & _P32)
-        return jnp.where(y >= _P32, y - _P32, y)
-
-    return red(red(t_hh + t_ll) + t_mid)
+    u = hh + hh + (mid >> 15)
+    v = (ll & _P32) + ((mid & _MASK15) << 16) + (ll >> 31)
+    v = (v >> 31) + (v & _P32)
+    y = u + v  # < 2^32 exactly (coupled bound)
+    y = (y >> 31) + (y & _P32)
+    return jnp.where(y >= _P32, y - _P32, y)
 
 
 def _add(a, b):

@@ -92,17 +92,27 @@ class CommitmentTreeProver:
         with span("merkle"):
             from ..vcs.ops import Blake2sMerkleOps
 
-            self.commitment = (merkle_ops or Blake2sMerkleOps).commit(
+            ops = merkle_ops or Blake2sMerkleOps
+            self.commitment = ops.commit(
                 [ev.values for ev in self.evaluations])
-        channel.mix_root(self.commitment.root())
+        root_words = (getattr(ops, "device_root_words", lambda t: None)
+                      (self.commitment))
+        if root_words is not None and hasattr(channel, "mix_root_device"):
+            # async device mix: the commit phase never blocks on the tunnel
+            # just to advance the Fiat-Shamir digest
+            channel.mix_root_device(root_words)
+        else:
+            channel.mix_root(self.commitment.root())
 
     def decommit(self, queries: Dict[int, List[int]]):
         return self.commitment.decommit(
             queries, [ev.values for ev in self.evaluations])
 
-    def decommit_deferred(self, queries: Dict[int, List[int]], batch):
+    def decommit_deferred(self, queries: Dict[int, List[int]], batch,
+                          pool=None):
         return self.commitment.decommit_deferred(
-            queries, [ev.values for ev in self.evaluations], batch)
+            queries, [ev.values for ev in self.evaluations], batch,
+            pool=pool)
 
 
 class TreeBuilder:
@@ -248,18 +258,24 @@ class CommitmentSchemeProver:
             proof_of_work = grind(channel, self.config.pow_bits)
         channel.mix_u64(proof_of_work)
 
-        # 5. FRI decommitment + Merkle decommitments: every layer's and every
-        # tree's witness gathers are planned host-side, dispatched async, and
-        # pulled with ONE device->host transfer.
-        from ..utils import FetchBatch
+        # 5. FRI decommitment + Merkle decommitments: every gather of every
+        # tree (4 commitment trees + every FRI layer tree) coalesces through
+        # ONE GatherPool — one concatenate + one bucketed take per array
+        # kind — and is pulled with ONE device->host transfer.
+        from ..utils import FetchBatch, GatherPool
 
         with span("decommitment"):
             batch = FetchBatch()
+            pool = GatherPool(batch)
             fri_finish, query_positions_per_log_size = (
-                fri_prover.decommit_deferred(channel, batch))
+                fri_prover.decommit_deferred(channel, batch, pool=pool))
             tree_fins = [
-                tree.decommit_deferred(query_positions_per_log_size, batch)
+                tree.decommit_deferred(query_positions_per_log_size, batch,
+                                       pool=pool)
                 for tree in self.trees]
+            root_fins = [t.commitment.root_deferred(batch)
+                         for t in self.trees]
+            pool.seal()
             batch.materialize()
             fri_proof = fri_finish()
             queried_values = TreeVec()
@@ -271,7 +287,7 @@ class CommitmentSchemeProver:
 
         return CommitmentSchemeProof(
             config=self.config,
-            commitments=self.roots(),
+            commitments=TreeVec(f() for f in root_fins),
             sampled_values=sampled_values,
             decommitments=decommitments,
             queried_values=queried_values,

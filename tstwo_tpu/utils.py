@@ -90,4 +90,5 @@ def to_host(x) -> np.ndarray:
 
 # FetchBatch + padded_take live in utils_fetch.py (deferred transfers AND
 # deferred gathers, fused into one dispatch + one fetch at materialize).
-from .utils_fetch import FetchBatch, padded_take  # noqa: E402,F401
+from .utils_fetch import (FetchBatch, GatherPool,  # noqa: E402,F401
+                          padded_take)

@@ -28,6 +28,11 @@ class Blake2sMerkleOps:
         return Blake2sMerkleOps.prover_cls().commit(columns)
 
     @staticmethod
+    def device_root_words(prover):
+        """Root as device u32[8] words, for zero-RTT channel mixing."""
+        return prover.layers[0][:, 0]
+
+    @staticmethod
     def hash_node(children, values):
         from .blake2s_merkle import hash_node
 

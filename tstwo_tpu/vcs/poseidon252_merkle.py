@@ -121,7 +121,13 @@ class Poseidon252MerkleProver:
     def commit(columns) -> "Poseidon252MerkleProver":
         from ..ops import poseidon252 as pos
 
-        cols = sorted(columns, key=lambda c: -c.shape[-1])
+        expanded = []  # 2-D [C, n] entries = C same-size columns, in order
+        for c in columns:
+            if getattr(c, "ndim", 1) == 2:
+                expanded.extend(c[i] for i in range(c.shape[0]))
+            else:
+                expanded.append(c)
+        cols = sorted(expanded, key=lambda c: -c.shape[-1])
         if not cols:
             root = hash_node(None, [])
             return Poseidon252MerkleProver(
@@ -173,43 +179,48 @@ class Poseidon252MerkleProver:
         batch.materialize()
         return finish()
 
-    def decommit_deferred(self, queries_per_log_size, columns, batch):
-        """Plan all witness gathers into `batch` (one device->host transfer
-        shared with every other tree/FRI layer); finish() assembles the
-        (queried_values, MerkleDecommitment) pair after materialize()."""
+    def decommit_deferred(self, queries_per_log_size, columns, batch,
+                          pool=None):
+        """Register all witness gathers into a utils.GatherPool (shared via
+        `pool` with every other tree/FRI layer of the proof — axis-0 limb
+        gathers and value gathers each coalesce into one take) and pull
+        them through `batch` in one device->host transfer; finish()
+        assembles the (queried_values, MerkleDecommitment) pair after
+        materialize()."""
         from ..ops import poseidon252 as pos
-        from .prover import MerkleDecommitment, plan_decommitment
+        from ..utils import GatherPool
+        from .prover import (MerkleDecommitment, plan_decommitment,
+                             stack_column_groups)
 
         layer_plans = plan_decommitment(queries_per_log_size,
                                         len(self.layers), columns)
+        local_pool = pool if pool is not None else GatherPool(batch)
         deferred = []
         for plan in layer_plans:
             log = plan["log"]
-            hash_handle = None
+            hash_thunk = None
             if plan["hash_idxs"]:
-                idx = jnp.asarray(np.array(plan["hash_idxs"], dtype=np.int64))
-                hash_handle = batch.defer(
-                    jnp.take(self.layers[log + 1], idx, axis=0))
-            value_handle = None
+                hash_thunk = local_pool.take(self.layers[log + 1],
+                                             plan["hash_idxs"], axis=0)
+            value_thunk = None
             if plan["node_idxs"] and plan["cols"]:
-                idx = jnp.asarray(np.array(plan["node_idxs"], dtype=np.int64))
-                stacked = (plan["cols"][0][None, :]
-                           if len(plan["cols"]) == 1
-                           else jnp.stack(plan["cols"]))
-                value_handle = batch.defer(jnp.take(stacked, idx, axis=-1))
-            deferred.append((plan, hash_handle, value_handle))
+                value_thunk = local_pool.take(
+                    stack_column_groups(plan["cols"]), plan["node_idxs"])
+            deferred.append((plan, hash_thunk, value_thunk))
+        if pool is None:
+            local_pool.seal()
 
         def finish():
             queried: list = []
             dec = MerkleDecommitment()
-            for plan, hash_handle, value_handle in deferred:
+            for plan, hash_thunk, value_thunk in deferred:
                 hashes = None
-                if hash_handle is not None:
+                if hash_thunk is not None:
                     hashes = [FieldElement252(v) for v in
-                              pos.limb_array_to_ints(hash_handle.get())]
+                              pos.limb_array_to_ints(hash_thunk())]
                 values = []
-                if value_handle is not None:
-                    g = value_handle.get()
+                if value_thunk is not None:
+                    g = value_thunk()
                     values = [g[k] for k in range(g.shape[0])]
                 hi = 0
                 for si, (node, witness_children, was_queried) in enumerate(

@@ -93,7 +93,16 @@ def _commit_all_layers(max_log: int, cols: tuple):
     prev = None
     log = max_log
     while log >= 0:
-        layer_cols = [c for c in cols if c.shape[-1] == (1 << log)]
+        # 2-D [C, n] entries expand to C same-size columns here, INSIDE the
+        # jit, where row slicing is free (an eager slice costs a tunnel
+        # dispatch each; FRI alone has ~17 trees x 4 columns).
+        layer_cols = []
+        for c in cols:
+            if c.shape[-1] == (1 << log):
+                if c.ndim == 2:
+                    layer_cols.extend(c[i] for i in range(c.shape[0]))
+                else:
+                    layer_cols.append(c)
         lower_has_cols = any(c.shape[-1] < (1 << log) for c in cols)
         if (prev is not None and not layer_cols and not lower_has_cols
                 and log + 1 <= _SCAN_TOP_LOG):
@@ -105,6 +114,23 @@ def _commit_all_layers(max_log: int, cols: tuple):
         layers[log] = prev
         log -= 1
     return tuple(layers[i] for i in range(max_log + 1))
+
+
+def stack_column_groups(cols: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Normalize a layer's column entries (1-D columns and/or 2-D [C, n]
+    stacks) into one 2-D [total_cols, n] array, preserving order."""
+    if len(cols) == 1:
+        c = cols[0]
+        return c if c.ndim == 2 else c[None, :]
+    if all(c.ndim == 1 for c in cols):
+        return jnp.stack(cols)
+    return jnp.concatenate(
+        [c if c.ndim == 2 else c[None, :] for c in cols], axis=0)
+
+
+def column_count(cols: Sequence[jnp.ndarray]) -> int:
+    """Number of logical columns across 1-D / 2-D [C, n] entries."""
+    return sum(int(c.shape[0]) if c.ndim == 2 else 1 for c in cols)
 
 
 def plan_decommitment(queries_per_log_size: Mapping[int, Sequence[int]],
@@ -211,54 +237,37 @@ class MerkleProver:
         queries_per_log_size: Mapping[int, Sequence[int]],
         columns: Sequence[jnp.ndarray],
         batch,
+        pool=None,
     ):
         """Witness assembly (reference vcs/prover.ts:32-109).
 
         Phase 1 derives, from query indices alone, which nodes are visited
-        per layer and which child hashes enter the witness; phase 2 defers
-        exactly those gathers into `batch` (a utils.FetchBatch); the
-        returned finish() emits them in canonical order once the batch is
-        materialized — so any number of tree decommits share ONE transfer.
+        per layer and which child hashes enter the witness; phase 2
+        registers exactly those gathers into a utils.GatherPool — when the
+        caller passes a shared `pool`, EVERY tree of the proof (4
+        commitment trees + ~17 FRI layer trees) coalesces into one
+        concatenate + one bucketed take per array kind, and `batch` pulls
+        them all in one device->host transfer.  Entries of `columns` may
+        be 1-D single columns or 2-D [C, n] stacks of C same-size columns
+        (avoids eager per-column slice/re-stack dispatches on the tunnel).
         """
         layer_plans = plan_decommitment(queries_per_log_size, len(self.layers),
                                         columns)
 
-        # ---- phase 2: deferred batched device gathers ----------------------
-        # ALL hash-witness gathers of the tree go through ONE take on the
-        # heap-concatenated layers (one extra concat dispatch per tree vs
-        # ~2 dispatches x ~log2(N) layers at the ~2.3 ms tunnel floor --
-        # decommitment was ~0.7 s of eager dispatch at wide-fib, round 4);
-        # column-value gathers stay per layer (usually a single layer
-        # carries columns).
-        from ..utils import padded_take
+        # ---- phase 2: pooled deferred device gathers -----------------------
+        from ..utils import GatherPool
 
-        heap_global: List[int] = []
-        heap_spans = []  # (plan, start, count) in heap_global
-        heap_offsets = {}
-        if len(self.layers) > 1:
-            off = 0
-            for log1, layer in enumerate(self.layers[1:], start=1):
-                heap_offsets[log1] = off
-                off += int(layer.shape[-1])
+        local_pool = pool if pool is not None else GatherPool(batch)
         for plan in layer_plans:
             log = plan["log"]
             if plan["hash_idxs"]:
-                base = heap_offsets[log + 1]
-                start = len(heap_global)
-                heap_global.extend(base + i for i in plan["hash_idxs"])
-                heap_spans.append((plan, start, len(plan["hash_idxs"])))
+                plan["_hashes_h"] = local_pool.take(self.layers[log + 1],
+                                                    plan["hash_idxs"])
             if plan["node_idxs"] and plan["cols"]:
-                stacked = (plan["cols"][0][None, :] if len(plan["cols"]) == 1
-                           else jnp.stack(plan["cols"]))
-                plan["_values_h"] = padded_take(stacked, plan["node_idxs"],
-                                                -1, batch)
-        if heap_global:
-            heap = (jnp.concatenate(self.layers[1:], axis=1)
-                    if len(self.layers) > 2 else self.layers[1])
-            heap_thunk = padded_take(heap, heap_global, -1, batch)
-            for plan, start, count in heap_spans:
-                plan["_hashes_h"] = (
-                    lambda s=start, c=count: heap_thunk()[:, s:s + c])
+                plan["_values_h"] = local_pool.take(
+                    stack_column_groups(plan["cols"]), plan["node_idxs"])
+        if pool is None:
+            local_pool.seal()
 
         # ---- phase 3: canonical-order assembly (after materialize) --------
         def finish() -> Tuple[List[M31], MerkleDecommitment]:
