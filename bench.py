@@ -296,6 +296,24 @@ def bench_prove():
     return prove_s
 
 
+def bench_prove_poseidon():
+    """Poseidon252-flavor e2e prove (device-batched Hades Merkle, host
+    transcript) -- the second Merkle flavor had exact-value tests but no
+    committed perf number, so it could silently regress (VERDICT r4 #9)."""
+    from tstwo_tpu.examples.basic_air import (prove_basic_air,
+                                              verify_basic_air)
+
+    prove_basic_air(log_num_rows=4, flavor="poseidon252")  # warm
+    prove_basic_air(log_num_rows=4, flavor="poseidon252")
+    t0 = time.perf_counter()
+    proof, component, config = prove_basic_air(log_num_rows=4,
+                                               flavor="poseidon252")
+    prove_s = time.perf_counter() - t0
+    verify_basic_air(proof, component, config, log_num_rows=4,
+                     flavor="poseidon252")
+    return prove_s
+
+
 def bench_prove_wide_fib(log_n_rows=8, seq=32):
     from tstwo_tpu.examples.wide_fibonacci import (prove_wide_fibonacci,
                                                   verify_wide_fibonacci)
@@ -393,6 +411,7 @@ def main():
         ("merkle_nodes_per_s_log22", bench_merkle, ()),
         ("fri_commit_points_per_s_log22", bench_fri_commit, ()),
         ("prove_basic_air_seconds_log4", bench_prove, ()),
+        ("prove_basic_air_poseidon_seconds_log4", bench_prove_poseidon, ()),
         ("prove_wide_fib_seconds_log8x32", bench_prove_wide_fib, ()),
         ("prove_wide_fib_seconds_log16x32", bench_prove_wide_fib, (16,)),
         ("prove_logup_seconds_log16", bench_prove_logup, ()),

@@ -18,6 +18,26 @@ import sys
 
 THRESHOLD = 0.20
 
+# Explicit metric-direction classification (ADVICE r4: substring sniffing
+# would misread a future timing metric named e.g. *_ms as throughput and
+# pass a slowdown).  Every metric must match exactly one suffix rule;
+# unclassifiable names are a hard error.
+LOWER_IS_BETTER_SUFFIXES = ("_seconds", "_ms", "_s")
+HIGHER_IS_BETTER_SUBSTRINGS = ("_per_s", "_per_sec", "_ops", "_throughput")
+
+
+def direction(metric: str) -> bool:
+    """True if lower is better.  Raises on unclassifiable names."""
+    if any(s in metric for s in HIGHER_IS_BETTER_SUBSTRINGS):
+        return False
+    if any(metric.endswith(s) or f"{s}_log" in metric
+           for s in LOWER_IS_BETTER_SUFFIXES):
+        return True
+    raise SystemExit(
+        f"cannot classify metric direction for {metric!r}: add it to "
+        "LOWER_IS_BETTER_SUFFIXES or HIGHER_IS_BETTER_SUBSTRINGS")
+
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -64,7 +84,7 @@ def main():
         if nv is None:
             flags.append(f"NULL: {k} was {ov:.4g}, now missing/null")
             continue
-        lower_is_better = "seconds" in k
+        lower_is_better = direction(k)
         ratio = nv / ov if ov else float("inf")
         if lower_is_better:
             if ratio > 1 + THRESHOLD:

@@ -3,7 +3,11 @@ meshes (and the 2x4 hosts-x-chips topology).
 
 Run on the virtual CPU backend:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-    python scripts/measure_scaling.py [log_rows] [seq]
+    python scripts/measure_scaling.py [log_rows] [seq] [mesh_filter]
+
+mesh_filter is a comma list of mesh names to run (e.g. "1,8x1") -- used
+for the large amortizing-size row (per-shard work >= 2^18 points), where
+running every mesh size would take too long on the virtual backend.
 
 On virtual devices all shards share the host's cores, so wall-clock does
 NOT speed up with mesh size -- the table measures the OVERHEAD of the
@@ -43,6 +47,10 @@ def main():
         d *= 2
     if n_dev >= 8:
         meshes.append(("2x4 (hosts x chips)", make_mesh2d(2, 4)))
+    if len(sys.argv) > 3:
+        keep = sys.argv[3].split(",")
+        meshes = [(n, m) for n, m in meshes
+                  if any(n.startswith(k) for k in keep)]
 
     ref_bytes = None
     rows = []

@@ -21,11 +21,15 @@ if "xla_force_host_platform_device_count" not in flags:
 # pallas interpret mode) hang for minutes; with the env var set first the
 # plugin stays dormant and CPU compiles run locally (~2 s for the same
 # program).  Discovered round 4 after two suite runs "hung" at 54%.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The driver environment exports JAX_PLATFORMS=axon, so a plain setdefault
+# would silently tunnel the whole suite to the TPU; instead the override
+# is gated on an explicit opt-out so deliberate on-device suite runs stay
+# possible: TSTWO_TEST_PLATFORM=axon pytest ...  (ADVICE r4).
+os.environ["JAX_PLATFORMS"] = os.environ.get("TSTWO_TEST_PLATFORM", "cpu")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 # Persistent compilation cache: the jitted Poseidon252 Hades permutation
 # takes ~1 min of XLA CPU compile; cache it (and everything else slow)

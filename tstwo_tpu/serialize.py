@@ -156,6 +156,8 @@ def prover_checkpoint_arrays(scheme, channel):
     with N committed trees + the channel state."""
     import numpy as np
 
+    from .vcs.ops import Blake2sMerkleOps
+
     meta: Dict[str, Any] = {
         "channel": channel_state_to_dict(channel),
         "config": {
@@ -164,6 +166,10 @@ def prover_checkpoint_arrays(scheme, channel):
                     scheme.config.fri_config.log_blowup_factor,
                     scheme.config.fri_config.n_queries],
         },
+        # flavor/mesh-ness recorded so load can't silently rebuild the
+        # wrong Merkle prover class (ADVICE r4 medium)
+        "merkle_flavor": (scheme.merkle_ops or Blake2sMerkleOps).name,
+        "mesh": scheme.mesh is not None,
         "trees": [],
     }
     arrays: Dict[str, Any] = {}
@@ -191,9 +197,14 @@ def save_prover_checkpoint(path: str, scheme, channel) -> None:
     np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
 
 
-def load_prover_checkpoint(path: str, twiddles):
+def load_prover_checkpoint(path: str, twiddles, mesh=None):
     """Restore (scheme, channel); `twiddles` is the same TwiddleTree a
-    fresh prove would precompute (deterministic from the domain sizes)."""
+    fresh prove would precompute (deterministic from the domain sizes).
+
+    The checkpoint records its Merkle flavor and whether the saved scheme
+    was mesh-sharded; the matching prover class is reconstructed, and a
+    mesh-sharded checkpoint refuses to load without `mesh` (a silent
+    default-to-Blake2s restore produced diverging proofs; ADVICE r4)."""
     import json
 
     import jax.numpy as jnp
@@ -202,14 +213,28 @@ def load_prover_checkpoint(path: str, twiddles):
     from .circle import CanonicCoset
     from .pcs.prover import (CommitmentSchemeProver, CommitmentTreeProver)
     from .poly.circle_poly import CircleEvaluation, CirclePoly
-    from .vcs.prover import MerkleProver
+    from .vcs.ops import Blake2sMerkleOps, Poseidon252MerkleOps
 
     data = np.load(path)
     meta = json.loads(str(data["__meta__"]))
     channel = channel_state_from_dict(meta["channel"])
     cfg = PcsConfig(meta["config"]["pow_bits"],
                     FriConfig(*meta["config"]["fri"]))
-    scheme = CommitmentSchemeProver(cfg, twiddles)
+    flavor = meta.get("merkle_flavor", "blake2s")
+    ops_by_name = {Blake2sMerkleOps.name: Blake2sMerkleOps,
+                   Poseidon252MerkleOps.name: Poseidon252MerkleOps}
+    if flavor not in ops_by_name:
+        raise ValueError(f"checkpoint has unsupported Merkle flavor "
+                         f"{flavor!r}; known: {sorted(ops_by_name)}")
+    merkle_ops = ops_by_name[flavor]
+    if meta.get("mesh", False) and mesh is None:
+        raise ValueError(
+            "checkpoint was saved from a mesh-sharded prove; pass the same "
+            "jax.sharding.Mesh to load_prover_checkpoint(mesh=...)")
+    scheme = CommitmentSchemeProver(
+        cfg, twiddles, mesh=mesh,
+        merkle_ops=None if merkle_ops is Blake2sMerkleOps else merkle_ops)
+    prover_cls = merkle_ops.prover_cls()
     for ti, tmeta in enumerate(meta["trees"]):
         tree = CommitmentTreeProver.__new__(CommitmentTreeProver)
         tree.polynomials = [
@@ -220,7 +245,7 @@ def load_prover_checkpoint(path: str, twiddles):
                 CanonicCoset.new(log).circle_domain(),
                 jnp.asarray(data[f"t{ti}_e{ei}"]))
             for ei, log in enumerate(tmeta["eval_logs"])]
-        tree.commitment = MerkleProver(
+        tree.commitment = prover_cls(
             [jnp.asarray(data[f"t{ti}_l{li}"])
              for li in range(tmeta["n_layers"])])
         scheme.trees.append(tree)
