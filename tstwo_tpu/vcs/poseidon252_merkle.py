@@ -117,10 +117,39 @@ class Poseidon252MerkleProver:
         cc = tuple(jnp.pad(c, (0, pad - n)) for c in layer_cols)
         return _commit_layer_device(pc, cc)[:n]
 
+    # Layers smaller than HOST_N are hashed on the HOST by scalar Hades:
+    # XLA:CPU executes the PAD-padded device sweep in time proportional to
+    # PAD (~seconds per tiny layer -- the Poseidon e2e test alone spent
+    # 254 s in them, round-5 profile) while scalar host Hades costs
+    # ~0.5 ms/node.  On TPU the device sweep is cheap, but every tree's
+    # top levels are below HOST_N anyway and finishing them host-side
+    # costs one small fetch instead of ~log2(HOST_N) tiny dispatches.
+    # Host/device value equality is pinned by tests/test_poseidon.py::
+    # test_device_merkle_root_matches_host_hash_node (which forces the
+    # device path via min_device_n=0).
+    #
+    # The threshold is platform-dependent: scalar host Hades is ~1 ms/node,
+    # an XLA:CPU padded sweep ~20 s, a TPU sweep one ~2.3 ms dispatch -- so
+    # CPU prefers the host for anything small while TPU only host-hashes
+    # the sub-vreg top levels.
+    HOST_N_TPU = 64
+    HOST_N_CPU = 256
+
     @staticmethod
-    def commit(columns) -> "Poseidon252MerkleProver":
+    def _host_n() -> int:
+        try:
+            tpu = jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:  # pragma: no cover
+            tpu = False
+        return (Poseidon252MerkleProver.HOST_N_TPU if tpu
+                else Poseidon252MerkleProver.HOST_N_CPU)
+
+    @staticmethod
+    def commit(columns, min_device_n=None) -> "Poseidon252MerkleProver":
         from ..ops import poseidon252 as pos
 
+        host_below = (Poseidon252MerkleProver._host_n()
+                      if min_device_n is None else min_device_n)
         expanded = []  # 2-D [C, n] entries = C same-size columns, in order
         for c in columns:
             if getattr(c, "ndim", 1) == 2:
@@ -134,11 +163,28 @@ class Poseidon252MerkleProver:
                 [jnp.asarray(pos.ints_to_limb_array([root.value]))])
         max_log = int(cols[0].shape[-1]).bit_length() - 1
         prev = None
+        host_prev = None  # list of ints once the host path takes over
         layers = {}
         for log in range(max_log, -1, -1):
-            layer_cols = tuple(c for c in cols if c.shape[-1] == (1 << log))
-            prev = Poseidon252MerkleProver._layer(prev, layer_cols)
-            layers[log] = prev
+            n = 1 << log
+            layer_cols = tuple(c for c in cols if c.shape[-1] == n)
+            if n >= host_below:
+                prev = Poseidon252MerkleProver._layer(prev, layer_cols)
+                layers[log] = prev
+                continue
+            if host_prev is None and prev is not None:
+                host_prev = pos.limb_array_to_ints(np.asarray(prev))
+            cols_np = [np.asarray(c) for c in layer_cols]
+            nodes = []
+            for i in range(n):
+                children = None
+                if host_prev is not None:
+                    children = (FieldElement252(host_prev[2 * i]),
+                                FieldElement252(host_prev[2 * i + 1]))
+                values = [M31(int(c[i])) for c in cols_np]
+                nodes.append(hash_node(children, values).value)
+            layers[log] = np.asarray(pos.ints_to_limb_array(nodes))
+            host_prev = nodes
         return Poseidon252MerkleProver(
             [layers[i] for i in range(max_log + 1)])
 
