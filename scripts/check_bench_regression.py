@@ -56,7 +56,7 @@ def load(path):
             raise ValueError(f"no bench JSON line in {path}")
     flat = {data["metric"]: data["value"]}
     for k, v in data.get("aux", {}).items():
-        if k in ("bench_wall_seconds", "spans"):
+        if k in ("bench_wall_seconds", "spans", "span_walls"):
             continue
         flat[k] = v
     return flat

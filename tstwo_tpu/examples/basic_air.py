@@ -74,17 +74,21 @@ def prove_basic_air(log_num_rows: int = 4, config: PcsConfig = None,
     """
     from ..vcs.ops import MERKLE_OPS
 
+    from ..tracing import span
+
     merkle_ops = MERKLE_OPS[flavor]
     config = config or PcsConfig()
-    columns = generate_trace(log_num_rows)
-    domain = CanonicCoset.new(log_num_rows).circle_domain()
-    trace = [CircleEvaluation(domain, col) for col in columns]
+    with span("trace_gen"):
+        columns = generate_trace(log_num_rows)
+        domain = CanonicCoset.new(log_num_rows).circle_domain()
+        trace = [CircleEvaluation(domain, col) for col in columns]
 
-    twiddles = precompute_twiddles(
-        CanonicCoset.new(
-            log_num_rows + CONSTRAINT_EVAL_BLOWUP_FACTOR
-            + config.fri_config.log_blowup_factor
-        ).circle_domain().half_coset)
+    with span("twiddle_precompute"):
+        twiddles = precompute_twiddles(
+            CanonicCoset.new(
+                log_num_rows + CONSTRAINT_EVAL_BLOWUP_FACTOR
+                + config.fri_config.log_blowup_factor
+            ).circle_domain().half_coset)
 
     channel = merkle_ops.default_channel()
     commitment_scheme = CommitmentSchemeProver(
@@ -102,8 +106,9 @@ def prove_basic_air(log_num_rows: int = 4, config: PcsConfig = None,
     tree_builder.extend_evals(trace)
     tree_builder.commit(channel)
 
-    component = FrameworkComponent(
-        TraceLocationAllocator(), TestEval(log_num_rows), QM31.zero())
+    with span("component_setup"):
+        component = FrameworkComponent(
+            TraceLocationAllocator(), TestEval(log_num_rows), QM31.zero())
 
     proof = prove([component], channel, commitment_scheme)
     return proof, component, config

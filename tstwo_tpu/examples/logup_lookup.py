@@ -110,13 +110,18 @@ def generate_interaction_trace(log_size: int, val_col, mult_col,
 def prove_logup_lookup(log_size: int = 8, config: PcsConfig = None,
                        seed: int = 0, pairs: bool = True, trace=None
                        ) -> Tuple[StarkProof, PcsConfig, QM31]:
+    from ..tracing import span
+
     config = config or PcsConfig()
-    val_col, mult_col = trace if trace is not None \
-        else generate_trace(log_size, seed)
-    domain = CanonicCoset.new(log_size).circle_domain()
-    twiddles = precompute_twiddles(
-        CanonicCoset.new(log_size + 1 + config.fri_config.log_blowup_factor)
-        .circle_domain().half_coset)
+    with span("trace_gen"):
+        val_col, mult_col = trace if trace is not None \
+            else generate_trace(log_size, seed)
+        domain = CanonicCoset.new(log_size).circle_domain()
+    with span("twiddle_precompute"):
+        twiddles = precompute_twiddles(
+            CanonicCoset.new(
+                log_size + 1 + config.fri_config.log_blowup_factor)
+            .circle_domain().half_coset)
     channel = Blake2sChannel()
     scheme = CommitmentSchemeProver(config, twiddles)
 
@@ -137,10 +142,12 @@ def prove_logup_lookup(log_size: int = 8, config: PcsConfig = None,
     tb.extend_evals(interaction_cols)
     tb.commit(channel)
 
-    allocator = TraceLocationAllocator.new_with_preprocessed_columns(
-        [Seq(log_size).id()])
-    component = FrameworkComponent(
-        allocator, LookupEval(log_size, lookup_elements, pairs), claimed_sum)
+    with span("component_setup"):
+        allocator = TraceLocationAllocator.new_with_preprocessed_columns(
+            [Seq(log_size).id()])
+        component = FrameworkComponent(
+            allocator, LookupEval(log_size, lookup_elements, pairs),
+            claimed_sum)
     proof = prove([component], channel, scheme)
     return proof, config, claimed_sum
 

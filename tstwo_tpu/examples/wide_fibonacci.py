@@ -94,13 +94,18 @@ def prove_wide_fibonacci(log_n_rows: int = 6,
                          sequence_length: int = FIB_SEQUENCE_LENGTH,
                          config: PcsConfig = None, mesh=None, seed: int = 0,
                          ) -> Tuple[StarkProof, FrameworkComponent, PcsConfig]:
+    from ..tracing import span
+
     config = config or PcsConfig()
-    columns = generate_trace(log_n_rows, sequence_length, seed=seed)
-    domain = CanonicCoset.new(log_n_rows).circle_domain()
-    trace = [CircleEvaluation(domain, col) for col in columns]
-    twiddles = precompute_twiddles(
-        CanonicCoset.new(log_n_rows + 1 + config.fri_config.log_blowup_factor)
-        .circle_domain().half_coset)
+    with span("trace_gen"):
+        columns = generate_trace(log_n_rows, sequence_length, seed=seed)
+        domain = CanonicCoset.new(log_n_rows).circle_domain()
+        trace = [CircleEvaluation(domain, col) for col in columns]
+    with span("twiddle_precompute"):
+        twiddles = precompute_twiddles(
+            CanonicCoset.new(
+                log_n_rows + 1 + config.fri_config.log_blowup_factor)
+            .circle_domain().half_coset)
     channel = Blake2sChannel()
     scheme = CommitmentSchemeProver(config, twiddles, mesh=mesh)
     tb = scheme.tree_builder()
@@ -110,9 +115,10 @@ def prove_wide_fibonacci(log_n_rows: int = 6,
     tb = scheme.tree_builder()
     tb.extend_evals(trace)
     tb.commit(channel)
-    component = FrameworkComponent(
-        TraceLocationAllocator(),
-        WideFibonacciEval(log_n_rows, sequence_length), QM31.zero())
+    with span("component_setup"):
+        component = FrameworkComponent(
+            TraceLocationAllocator(),
+            WideFibonacciEval(log_n_rows, sequence_length), QM31.zero())
     proof = prove([component], channel, scheme)
     return proof, component, config
 

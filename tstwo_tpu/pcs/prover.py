@@ -129,6 +129,8 @@ class TreeBuilder:
     def extend_evals(self, columns: Sequence[CircleEvaluation]) -> TreeSubspan:
         from ..poly.circle_poly import interpolate_values
 
+        interp_span = span("interpolation")
+        interp_span.__enter__()
         columns = list(columns)
         polys: List[Optional[CirclePoly]] = [None] * len(columns)
         groups: Dict[int, List[int]] = {}
@@ -147,6 +149,7 @@ class TreeBuilder:
                                             self._scheme.twiddles)
             for k, i in enumerate(idxs):
                 polys[i] = CirclePoly(coeffs[k])
+        interp_span.__exit__(None, None, None)
         return self.extend_polys(polys)
 
     def commit(self, channel) -> None:

@@ -91,7 +91,11 @@ def prove(components: List, channel,
     # Evaluate and commit the composition polynomial.
     from .tracing import span
 
-    random_coeff = channel.draw_felt()
+    with span("channel_sync"):
+        # the draw forces the lazy device digest (and with it the queued
+        # commit-phase device work) to settle -- wall time here is the
+        # commit pipeline draining, not host hashing
+        random_coeff = channel.draw_felt()
     with span("composition"):
         composition_poly = component_provers.compute_composition_polynomial(
             random_coeff, trace, commitment_scheme.twiddles)
@@ -100,16 +104,18 @@ def prove(components: List, channel,
     tree_builder.commit(channel)
 
     # OODS point and mask sample points.
-    oods_point = CirclePoint.get_random_point(channel)
+    with span("channel_sync"):
+        oods_point = CirclePoint.get_random_point(channel)
     sample_points = component_provers.mask_points(oods_point)
     sample_points.append([[oods_point]] * SECURE_EXTENSION_DEGREE)
 
     proof = StarkProof(commitment_scheme.prove_values(sample_points, channel))
 
     # Sanity: composition OODS eval must match the mask-derived value.
-    extracted = proof.extract_composition_oods_eval()
-    expected = component_provers.eval_composition_polynomial_at_point(
-        oods_point, proof.sampled_values, random_coeff)
+    with span("oods_sanity_check"):
+        extracted = proof.extract_composition_oods_eval()
+        expected = component_provers.eval_composition_polynomial_at_point(
+            oods_point, proof.sampled_values, random_coeff)
     if extracted != expected:
         raise ProvingError(ProvingError.CONSTRAINTS_NOT_SATISFIED)
     return proof
