@@ -128,11 +128,15 @@ class Poseidon252MerkleProver:
     # test_device_merkle_root_matches_host_hash_node (which forces the
     # device path via min_device_n=0).
     #
-    # The threshold is platform-dependent: scalar host Hades is ~1 ms/node,
-    # an XLA:CPU padded sweep ~20 s, a TPU sweep one ~2.3 ms dispatch -- so
-    # CPU prefers the host for anything small while TPU only host-hashes
-    # the sub-vreg top levels.
-    HOST_N_TPU = 64
+    # The threshold is platform-dependent: scalar host Hades is ~1 ms/node
+    # and an XLA:CPU padded sweep ~20 s, so CPU prefers the host for
+    # anything small.  On TPU the host path is a net LOSS: taking over a
+    # tree costs one blocking ~25 ms tunnel fetch of the previous layer
+    # (x ~20 trees per proof) plus ~1 ms/node of host hashing, while the
+    # device finishes the top levels asynchronously at ~2.3 ms/dispatch —
+    # measured 1.14 s vs 0.56 s e2e (round 5), so TPU keeps the pure
+    # device path.
+    HOST_N_TPU = 0
     HOST_N_CPU = 256
 
     @staticmethod
