@@ -467,6 +467,7 @@ def main():
         ("prove_basic_air_poseidon_seconds_log4", bench_prove_poseidon, ()),
         ("prove_wide_fib_seconds_log8x32", bench_prove_wide_fib, ()),
         ("prove_wide_fib_seconds_log16x32", bench_prove_wide_fib, (16,)),
+        ("prove_wide_fib_seconds_log18x64", bench_prove_wide_fib, (18, 64)),
         ("prove_logup_seconds_log16", bench_prove_logup, ()),
         ("gkr_layers_per_s_log20", bench_gkr_layers, ()),
     ]
