@@ -176,3 +176,57 @@ def test_gkr_proof_structure():
     assert len(proof.sumcheck_proofs) == 4  # one per layer below output
     assert proof.layer_masks_by_instance
     assert artifact.ood_point
+
+
+# ---------------------------------------------------------------------------
+# backend/cpu/lookups/gkr.test.ts edge values
+# ---------------------------------------------------------------------------
+
+def test_grand_product_all_zero_values():
+    layer = Layer(GRAND_PRODUCT, data=Mle(jnp.zeros((4, 8),
+                                                    dtype=jnp.uint32)))
+    proof, _ = prove_batch(Blake2sChannel(), [layer])
+    art = partially_verify_batch([GRAND_PRODUCT], proof, Blake2sChannel())
+    # output claim: product of zeros is zero
+    assert proof.output_claims_by_instance[0][0] == QM31.zero()
+    assert art is not None
+
+
+def test_grand_product_max_field_values():
+    vals = jnp.full((4, 8), P - 1, dtype=jnp.uint32)
+    proof, _ = prove_batch(Blake2sChannel(),
+                           [Layer(GRAND_PRODUCT, data=Mle(vals))])
+    partially_verify_batch([GRAND_PRODUCT], proof, Blake2sChannel())
+
+
+def test_logup_large_denominators():
+    from tstwo_tpu.lookups.gkr import GATE_LOGUP
+
+    rng = np.random.default_rng(11)
+    n = jnp.asarray(rng.integers(0, P, size=(4, 8), dtype=np.uint32))
+    d = jnp.full((4, 8), P - 1, dtype=jnp.uint32)
+    layer = Layer(LOGUP_GENERIC, numerators=Mle(n), denominators=Mle(d))
+    proof, _ = prove_batch(Blake2sChannel(), [layer])
+    partially_verify_batch([GATE_LOGUP], proof, Blake2sChannel())
+
+
+def test_grand_product_output_claim_is_product():
+    """Output claim equals the host-computed product of all evals."""
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, P, size=(4, 8), dtype=np.uint32)
+    proof, _ = prove_batch(Blake2sChannel(),
+                           [Layer(GRAND_PRODUCT, data=Mle(jnp.asarray(vals)))])
+    want = QM31.one()
+    for i in range(8):
+        want = want * QM31.from_u32_unchecked(*(int(vals[c, i])
+                                                for c in range(4)))
+    assert proof.output_claims_by_instance[0][0] == want
+
+
+def test_single_element_mle_layer():
+    """A 1-variable layer (2 points) is the minimal non-output case."""
+    layer = _gp_layer(1)
+    assert layer.n_variables() == 1
+    assert not layer.is_output_layer()
+    nxt = layer.next_layer()
+    assert nxt.is_output_layer()
