@@ -38,11 +38,18 @@ def neg(x):
 
 
 def mul(x, y):
+    """Gauss 3-multiplication complex product: re = ac - bd,
+    im = (a+b)(c+d) - ac - bd.  An m31 mul is ~28 VPU ops vs ~3 for an
+    add, so trading the 4th multiplication for 3 extra adds is ~16%
+    fewer ops (exact mod-P arithmetic, value-identical to schoolbook)."""
     a, b = x[0], x[1]
     c, d = y[0], y[1]
+    m1 = m31.mul(a, c)
+    m2 = m31.mul(b, d)
+    m3 = m31.mul(m31.add(a, b), m31.add(c, d))
     return jnp.stack([
-        m31.sub(m31.mul(a, c), m31.mul(b, d)),
-        m31.add(m31.mul(a, d), m31.mul(b, c)),
+        m31.sub(m1, m2),
+        m31.sub(m3, m31.add(m1, m2)),
     ])
 
 
