@@ -302,6 +302,23 @@ class CircleDomain:
     def is_canonic(self) -> bool:
         return self.half_coset.initial_index.value * 4 == self.half_coset.step_size.value
 
+    def iter_indices(self) -> Iterator[CirclePointIndex]:
+        """Half-coset indices followed by their conjugates, in ``at()``
+        order (reference poly/circle/domain.ts iterIndices; the Rust
+        conjugate negates the step, so position i here equals
+        ``index_at(i)`` — the TS version iterates the conjugate with a
+        positive step, which breaks that identity and is not ported)."""
+        yield from self.half_coset.iter_indices()
+        for idx in self.half_coset.iter_indices():
+            yield -idx
+
+    def iter(self) -> Iterator[CirclePoint[M31]]:
+        for idx in self.iter_indices():
+            yield idx.to_point()
+
+    def __iter__(self) -> Iterator[CirclePoint[M31]]:
+        return self.iter()
+
     def shift(self, shift_size: CirclePointIndex) -> "CircleDomain":
         return CircleDomain(self.half_coset.shift(shift_size))
 

@@ -387,3 +387,148 @@ def batch_inverse(elems: Sequence[Felt]) -> List[Felt]:
         out[i] = prefix[i] * inv_all
         inv_all = inv_all * elems[i]
     return out
+
+
+def batch_inverse_in_place(elems: Sequence[Felt], dst: List[Felt]) -> None:
+    """Write inverses of ``elems`` into ``dst`` (reference fields.ts
+    batchInverseInPlace / batchInverseClassic).  ``dst`` must be at least
+    as long as ``elems``.  The reference splits this into a WIDTH-strided
+    SIMD path and a classic path; one whole-column pass is both here.
+    """
+    if len(dst) < len(elems):
+        raise ValueError("dst is smaller than column")
+    for i, v in enumerate(batch_inverse(elems)):
+        dst[i] = v
+
+
+def batch_inverse_chunked(elems: Sequence[Felt], dst: List[Felt],
+                          chunk_size: int) -> None:
+    """Chunked batch inversion (reference fields.ts batchInverseChunked):
+    processes ``elems`` in ``chunk_size`` blocks -- same results as one
+    pass, bounded peak scratch."""
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    if len(dst) < len(elems):
+        raise ValueError("dst is smaller than column")
+    for start in range(0, len(elems), chunk_size):
+        block = elems[start:start + chunk_size]
+        for i, v in enumerate(batch_inverse(block)):
+            dst[start + i] = v
+
+
+class SecureColumnByCoords:
+    """QM31 column stored as SECURE_EXTENSION_DEGREE coordinate columns.
+
+    Reference ``src/fields/secure_columns.ts`` (tested by
+    ``test/fields/secure_columns.test.ts``).  tpu-first shape: the four
+    M31 coordinate columns live in ONE ``u32[4, n]`` SoA array -- the
+    exact layout every device kernel in this package consumes -- so
+    ``to_device()`` is a zero-copy handoff rather than a transpose of
+    per-element objects.
+    """
+
+    __slots__ = ("data",)
+
+    def __init__(self, columns):
+        import numpy as np
+
+        if len(columns) != SECURE_EXTENSION_DEGREE:
+            raise ValueError(
+                f"expected {SECURE_EXTENSION_DEGREE} coordinate columns")
+        lengths = {len(c) for c in columns}
+        if len(lengths) > 1:
+            raise ValueError("coordinate column length mismatch")
+        n = lengths.pop() if lengths else 0
+        data = np.empty((SECURE_EXTENSION_DEGREE, n), dtype=np.uint32)
+        for i, col in enumerate(columns):
+            data[i] = [v.value if isinstance(v, M31) else int(v) % P
+                       for v in col]
+        self.data = data
+
+    # -- constructors -----------------------------------------------------
+    @staticmethod
+    def _wrap(data) -> "SecureColumnByCoords":
+        sc = SecureColumnByCoords.zeros(0)
+        sc.data = data
+        return sc
+
+    @staticmethod
+    def zeros(n: int) -> "SecureColumnByCoords":
+        import numpy as np
+
+        return SecureColumnByCoords.__new__(SecureColumnByCoords)._init_zeros(n)
+
+    def _init_zeros(self, n: int) -> "SecureColumnByCoords":
+        import numpy as np
+
+        self.data = np.zeros((SECURE_EXTENSION_DEGREE, n), dtype=np.uint32)
+        return self
+
+    # reference exposes uninitialized() with zeros() behavior
+    uninitialized = zeros
+
+    @staticmethod
+    def from_iter(values: Iterable[QM31]) -> "SecureColumnByCoords":
+        import numpy as np
+
+        vals = [v.to_ints() for v in values]
+        data = (np.array(vals, dtype=np.uint32).T if vals
+                else np.zeros((SECURE_EXTENSION_DEGREE, 0), dtype=np.uint32))
+        return SecureColumnByCoords._wrap(data)
+
+    # -- container protocol ----------------------------------------------
+    @property
+    def columns(self):
+        return [self.data[i] for i in range(SECURE_EXTENSION_DEGREE)]
+
+    def __len__(self) -> int:
+        return int(self.data.shape[1])
+
+    def len(self) -> int:
+        return len(self)
+
+    def is_empty(self) -> bool:
+        return len(self) == 0
+
+    def at(self, index: int) -> QM31:
+        if not 0 <= index < len(self):
+            raise IndexError(f"index {index} out of bounds")
+        return QM31.from_ints([int(v) for v in self.data[:, index]])
+
+    def set(self, index: int, value: QM31) -> None:
+        if not 0 <= index < len(self):
+            raise IndexError(f"index {index} out of bounds")
+        self.data[:, index] = value.to_ints()
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.at(i)
+
+    def to_vec(self) -> List[QM31]:
+        return list(self)
+
+    def to_cpu(self) -> "SecureColumnByCoords":
+        return SecureColumnByCoords._wrap(self.data.copy())
+
+    def __eq__(self, other) -> bool:
+        import numpy as np
+
+        return (isinstance(other, SecureColumnByCoords)
+                and self.data.shape == other.data.shape
+                and bool(np.array_equal(self.data, other.data)))
+
+    # -- device interop ---------------------------------------------------
+    def to_device(self):
+        """The SoA array IS the device layout: one upload, no transpose."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.data)
+
+    @staticmethod
+    def from_device(arr) -> "SecureColumnByCoords":
+        import numpy as np
+
+        data = np.asarray(arr, dtype=np.uint32)
+        if data.ndim != 2 or data.shape[0] != SECURE_EXTENSION_DEGREE:
+            raise ValueError("expected a [4, n] coordinate array")
+        return SecureColumnByCoords._wrap(data)

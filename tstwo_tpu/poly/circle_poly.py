@@ -168,6 +168,10 @@ class CircleEvaluation:
     domain: CircleDomain
     values: jnp.ndarray  # uint32 [n]
 
+    def __post_init__(self):
+        if int(self.values.shape[-1]) != self.domain.size():
+            raise ValueError("domain/values size mismatch")
+
     def interpolate(self, tree: Optional[TwiddleTree] = None) -> CirclePoly:
         return CirclePoly(interpolate_values(self.values, self.domain, tree))
 
@@ -203,6 +207,10 @@ class SecureEvaluation:
     domain: CircleDomain
     values: jnp.ndarray  # uint32 [4, n]
 
+    def __post_init__(self):
+        if int(self.values.shape[-1]) != self.domain.size():
+            raise ValueError("domain/values size mismatch")
+
     def __len__(self) -> int:
         return int(self.values.shape[-1])
 
@@ -219,6 +227,29 @@ class SecureEvaluation:
     def from_qm31_list(domain: CircleDomain, vals: Sequence[QM31]) -> "SecureEvaluation":
         arr = np.array([v.to_ints() for v in vals], dtype=np.uint32).T
         return SecureEvaluation(domain, jnp.asarray(arr))
+
+
+class CosetSubEvaluation:
+    """Strided wraparound view over an evaluation's values
+    (reference poly/circle/evaluation.ts CosetSubEvaluation): element i is
+    ``values[(offset + i * step) & (len(values) - 1)]``."""
+
+    def __init__(self, values, offset: int, step: int):
+        n = len(values)
+        if n & (n - 1):
+            raise ValueError("values length must be a power of two")
+        self._values = values
+        self._offset = offset
+        self._step = step
+        self._mask = n - 1
+
+    def at(self, index: int):
+        return self._values[(self._offset + index * self._step) & self._mask]
+
+    get = at
+
+    def __getitem__(self, index: int):
+        return self.at(index)
 
 
 import jax as _jax
