@@ -16,10 +16,20 @@ INTERACTION_TRACE_IDX = 2
 
 @dataclass
 class Trace:
-    """Polynomials + evaluations per commitment tree."""
+    """Polynomials + evaluations per commitment tree
+    (reference air/index.ts Trace: the two TreeVecs must share their
+    tree/column structure)."""
 
     polys: TreeVec
     evals: TreeVec
+
+    def __post_init__(self):
+        if len(self.polys) != len(self.evals):
+            raise ValueError("polys/evals tree structure mismatch")
+        for t, (p, e) in enumerate(zip(self.polys, self.evals)):
+            if len(p) != len(e):
+                raise ValueError(
+                    f"polys/evals column structure mismatch in tree {t}")
 
 
 @runtime_checkable

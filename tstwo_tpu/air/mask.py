@@ -26,6 +26,9 @@ def shifted_mask_points(mask: Sequence[Sequence[int]],
     for col_mask, domain in zip(mask, domains):
         pts = []
         for item in col_mask:
+            if not 0 <= item < domain.size():
+                raise ValueError(
+                    f"mask item {item} out of domain bounds [0, {domain.size()})")
             shift = domain.at(item).into_ef(QM31.from_base)
             pts.append(point + shift)
         out.append(pts)
