@@ -231,3 +231,66 @@ def test_verify_rejects_tampered_sampled_trace_value(basic_proof):
 def test_prove_verify_cycle_multiple_sizes(log_num_rows):
     proof, component, config = prove_basic_air(log_num_rows=log_num_rows)
     verify_basic_air(proof, component, config, log_num_rows=log_num_rows)
+
+
+# ---------------------------------------------------------------------------
+# Size-estimate primitives + OODS structure variants
+# (prover/index.test.ts:97-156, 313-336 — Rust SizeEstimate impls)
+# ---------------------------------------------------------------------------
+
+def test_base_field_size_estimate():
+    """Rust test_base_field_size_estimate: an M31 serializes to 4 bytes."""
+    from tstwo_tpu.fields import M31
+
+    assert len(M31(123).to_bytes()) == 4
+
+
+def test_secure_field_size_estimate():
+    """Rust test_secure_field_size_estimate: a QM31 serializes to 16."""
+    assert len(QM31.from_ints([1, 2, 3, 4]).to_bytes()) == 16
+
+
+def test_hash_size_estimate():
+    """A Merkle root (Blake2s) contributes 32 bytes."""
+    import hashlib
+
+    assert len(hashlib.blake2s(b"x").digest()) == 32
+
+
+def test_size_estimate_vec_is_sum(basic_proof):
+    proof, _, _ = basic_proof
+    p = proof.commitment_scheme_proof
+    flat = p.sampled_values.flatten_cols()
+    assert 16 * len(flat) == proof.size_breakdown_estimate()["oods_samples"]
+
+
+def test_oods_wrong_column_count_rejected(basic_proof):
+    import copy
+
+    proof, _, _ = basic_proof
+    csp = copy.copy(proof.commitment_scheme_proof)
+    sv = list(csp.sampled_values)
+    sv[-1] = sv[-1][:3]  # drop one coordinate column
+    csp.sampled_values = type(csp.sampled_values)(sv)
+    with pytest.raises(InvalidOodsSampleStructure, match="4"):
+        StarkProof(csp).extract_composition_oods_eval()
+
+
+def test_oods_multiple_evals_per_column_rejected(basic_proof):
+    import copy
+
+    proof, _, _ = basic_proof
+    csp = copy.copy(proof.commitment_scheme_proof)
+    sv = list(csp.sampled_values)
+    sv[-1] = [[col[0], col[0]] for col in sv[-1]]
+    csp.sampled_values = type(csp.sampled_values)(sv)
+    with pytest.raises(InvalidOodsSampleStructure, match="one eval"):
+        StarkProof(csp).extract_composition_oods_eval()
+
+
+def test_size_breakdown_keys_complete(basic_proof):
+    proof, _, _ = basic_proof
+    bd = proof.size_breakdown_estimate()
+    assert set(bd) == {"oods_samples", "queries_values", "fri_samples",
+                      "fri_decommitments", "trace_decommitments"}
+    assert all(v >= 0 for v in bd.values())
