@@ -50,6 +50,8 @@ class Mle:
         return int(self.evals.shape[1])
 
     def at(self, i: int) -> QM31:
+        if not 0 <= i < len(self):
+            raise IndexError(f"index {i} out of bounds for {len(self)} evals")
         col = np.asarray(self.evals[:, i])
         return QM31.from_ints([int(v) for v in col])
 
@@ -61,6 +63,10 @@ class Mle:
 
         point[0] corresponds to the most significant hypercube variable.
         """
+        if len(point) != self.n_variables():
+            raise ValueError(
+                f"point has {len(point)} coordinates, MLE has "
+                f"{self.n_variables()} variables")
         arr = self.evals
         for p in point:
             arr = _fold_first_variable(arr, npqm31.scalar(p))

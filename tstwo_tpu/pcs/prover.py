@@ -270,23 +270,26 @@ class CommitmentSchemeProver:
         with span("decommitment"):
             batch = FetchBatch()
             pool = GatherPool(batch)
-            fri_finish, query_positions_per_log_size = (
-                fri_prover.decommit_deferred(channel, batch, pool=pool))
-            tree_fins = [
-                tree.decommit_deferred(query_positions_per_log_size, batch,
-                                       pool=pool)
-                for tree in self.trees]
-            root_fins = [t.commitment.root_deferred(batch)
-                         for t in self.trees]
-            pool.seal()
-            batch.materialize()
-            fri_proof = fri_finish()
-            queried_values = TreeVec()
-            decommitments = TreeVec()
-            for fin in tree_fins:
-                values, dec = fin()
-                queried_values.append(values)
-                decommitments.append(dec)
+            with span("decommit_build"):
+                fri_finish, query_positions_per_log_size = (
+                    fri_prover.decommit_deferred(channel, batch, pool=pool))
+                tree_fins = [
+                    tree.decommit_deferred(query_positions_per_log_size,
+                                           batch, pool=pool)
+                    for tree in self.trees]
+                root_fins = [t.commitment.root_deferred(batch)
+                             for t in self.trees]
+                pool.seal()
+            with span("decommit_transfer"):
+                batch.materialize()
+            with span("decommit_finish"):
+                fri_proof = fri_finish()
+                queried_values = TreeVec()
+                decommitments = TreeVec()
+                for fin in tree_fins:
+                    values, dec = fin()
+                    queried_values.append(values)
+                    decommitments.append(dec)
 
         return CommitmentSchemeProof(
             config=self.config,

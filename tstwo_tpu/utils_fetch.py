@@ -27,6 +27,22 @@ def _to_host(x) -> np.ndarray:
     return to_host(x)
 
 
+def _pack_flat(arrays):
+    """Ravel + concat a list of device arrays in ONE jitted dispatch.
+    Compiled once per shape-tuple (bucketed shapes keep that bounded)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _PACK_JIT
+    if _PACK_JIT is None:
+        _PACK_JIT = jax.jit(lambda arrs: jnp.concatenate(
+            [jnp.ravel(a).astype(jnp.uint32) for a in arrs]))
+    return _PACK_JIT(list(arrays))
+
+
+_PACK_JIT = None
+
+
 class FetchBatch:
     """Defer device->host transfers; materialize with ONE fetch."""
 
@@ -84,9 +100,16 @@ class FetchBatch:
         if not self._order:
             self._values = []
             return
-        flats = [jnp.ravel(a).astype(jnp.uint32) for a in self._plain]
-        host = _to_host(jnp.concatenate(flats) if len(flats) > 1
-                        else flats[0])
+        if len(self._plain) > 1:
+            # ONE jitted pack replaces len(plain) eager ravel dispatches +
+            # one concat (~2.3 ms/dispatch through the tunnel; a wide-fib
+            # decommit batch holds ~17 arrays = ~40 ms of pure dispatch
+            # floor).  Shapes are bucketed power-of-two (padded_take /
+            # GatherPool), so the compiled pack is reused across proofs
+            # of the same circuit.
+            host = _to_host(_pack_flat(self._plain))
+        else:
+            host = _to_host(jnp.ravel(self._plain[0]).astype(jnp.uint32))
         values: List[np.ndarray] = []
         off = 0
         for _, _, shape in self._order:
