@@ -310,3 +310,64 @@ def test_quotients_device_matches_host_rows(log_size):
         row = [M31(int(c[i])) for c in host_cols]
         want = accumulate_row_quotients(batches, row, consts, dp)
         assert QM31.from_ints(out[:, i].tolist()) == want
+
+
+# ---------------------------------------------------------------------------
+# scalar ops / pointwise / reverse / immutability
+# (simd.test.ts:328-339, 365-392, 973-993)
+# ---------------------------------------------------------------------------
+
+def test_scalar_broadcast_ops_match_elementwise():
+    rng = np.random.default_rng(60)
+    arr = rng.integers(0, P, size=64, dtype=np.uint32)
+    s = np.uint32(12345)
+    ja = jnp.asarray(arr)
+    assert np.array_equal(np.asarray(m31_ops.add(ja, s)),
+                          ((arr.astype(np.uint64) + int(s)) % P).astype(np.uint32))
+    assert np.array_equal(np.asarray(m31_ops.mul(ja, s)),
+                          ((arr.astype(np.uint64) * int(s)) % P).astype(np.uint32))
+    assert np.array_equal(np.asarray(m31_ops.sub(ja, s)),
+                          ((arr.astype(np.uint64) + P - int(s)) % P).astype(np.uint32))
+
+
+def test_pointwise_mul_matches_scalar_loop():
+    rng = np.random.default_rng(61)
+    a = rng.integers(0, P, size=32, dtype=np.uint32)
+    b = rng.integers(0, P, size=32, dtype=np.uint32)
+    got = np.asarray(m31_ops.mul(jnp.asarray(a), jnp.asarray(b)))
+    for i in range(32):
+        assert int(got[i]) == (int(a[i]) * int(b[i])) % P
+
+
+def test_reverse_operation():
+    rng = np.random.default_rng(62)
+    arr = rng.integers(0, P, size=128, dtype=np.uint32)
+    got = np.asarray(jnp.asarray(arr)[::-1])
+    assert np.array_equal(got, arr[::-1])
+
+
+def test_double_equals_add_self():
+    rng = np.random.default_rng(63)
+    arr = jnp.asarray(np.random.default_rng(63).integers(
+        0, P, size=64, dtype=np.uint32))
+    assert np.array_equal(np.asarray(m31_ops.add(arr, arr)),
+                          np.asarray(m31_ops.mul(arr, np.uint32(2))))
+
+
+def test_device_arrays_immutable():
+    arr = jnp.asarray(np.arange(8, dtype=np.uint32))
+    out = m31_ops.add(arr, np.uint32(1))
+    assert np.asarray(arr).tolist() == list(range(8))  # input unchanged
+    assert np.asarray(out).tolist() == list(range(1, 9))
+
+
+def test_qm31_scalar_broadcast():
+    rng = np.random.default_rng(64)
+    a = rng.integers(0, P, size=(4, 16), dtype=np.uint32)
+    s = np.array([3, 1, 4, 1], dtype=np.uint32)
+    got = np.asarray(qm31_ops.mul(jnp.asarray(a), jnp.asarray(s)[:, None]))
+    from tstwo_tpu.fields import QM31
+    sq = QM31.from_ints([3, 1, 4, 1])
+    for k in range(16):
+        want = QM31.from_ints([int(v) for v in a[:, k]]) * sq
+        assert QM31.from_ints([int(v) for v in got[:, k]]) == want
