@@ -274,7 +274,16 @@ TOP_LEVEL_SPANS = [
     "evaluate_columns_out_of_domain", "fri_quotients", "fri_commit",
     "grind", "decommitment", "oods_sanity_check", "component_setup",
 ]
-NESTED_SPANS = {"fri_fused_dispatch", "fri_state_fetch", "fri_last_layer"}
+# nested child spans: excluded from the top-level sum, rendered indented
+# under their parent
+NESTED_SPANS = {
+    "fri_fused_dispatch": "fri_commit",
+    "fri_state_fetch": "fri_commit",
+    "fri_last_layer": "fri_commit",
+    "decommit_build": "decommitment",
+    "decommit_transfer": "decommitment",
+    "decommit_finish": "decommitment",
+}
 
 
 def _spanned(tag):
@@ -319,8 +328,8 @@ def emit_spans_markdown(path="SPANS.md"):
             if k not in TOP_LEVEL_SPANS and k not in NESTED_SPANS:
                 lines.append(f"| {k} (unclassified) | {v:.4f} |")
                 total += v
-        for k in sorted(NESTED_SPANS & set(spans)):
-            lines.append(f"| &nbsp;&nbsp;{k} (within fri_commit) "
+        for k in sorted(set(NESTED_SPANS) & set(spans)):
+            lines.append(f"| &nbsp;&nbsp;{k} (within {NESTED_SPANS[k]}) "
                          f"| {spans[k]:.4f} |")
         if wall:
             rest = wall - total
